@@ -21,8 +21,6 @@ library oracle in tests/test_aes.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -307,11 +305,6 @@ def _mix_columns(state: jnp.ndarray) -> jnp.ndarray:
     o3 = x0 ^ s0 ^ s1 ^ s2 ^ x3
     out = jnp.stack([o0, o1, o2, o3], axis=-1)
     return out.reshape(state.shape)
-
-
-@functools.partial(jnp.vectorize, excluded=(1, 2), signature="(k)->(k)")
-def _noop(x, *_):  # pragma: no cover - placeholder to appease linters
-    return x
 
 
 def aes_encrypt_blocks(
