@@ -146,6 +146,22 @@ class QuantizingClient(_QuantizingBase):
     def quantized_zero(self) -> int:
         return quantized_zero(self.element_bits, self._next_key())
 
+    # -- sparse (compacted) variants: per-element gather of layer scalars --
+
+    def _gather(self, per_layer, locations):
+        seg = jnp.take(self.codec.segment_ids, jnp.asarray(locations))
+        return jnp.take(jnp.asarray(per_layer), seg)
+
+    def normalize_gather(self, values, locations):
+        return jnp.asarray(values) - self._gather(self.past_mean, locations)
+
+    def quantize_gather(self, values, locations):
+        """Quantize a compacted top-s% vector with per-position alphas."""
+        self.alpha = self.compute_alphas()
+        alpha_vec = self._gather(self.alpha, locations)
+        return _quantize_flat(jnp.asarray(values), alpha_vec,
+                              self.element_bits, self._next_key())
+
     # non-secure path helpers (arbiter-assisted clipping)
     def local_min_max(self, flat: jnp.ndarray):
         s1 = jax.ops.segment_min(flat, self.codec.segment_ids,

@@ -1,0 +1,136 @@
+"""Job configuration (reference param/jzf_homo_nn_param.py + the
+secure_aggregate_args surface of examples/configs/*/train_job_conf.json).
+
+Validation mirrors BaseParam.check (jzf_homo_nn_param.py:92-98): scheme
+names, quantizer bit widths, masking modes and flow-control settings are
+checked at construction so misconfiguration fails before any federation
+traffic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+__all__ = ["QuantizeConfig", "SecureAggregateArgs", "HomoNNParam"]
+
+_SCHEMES = ("plain", "flashe", "paillier", "bfv", "ckks")
+_MASKS = ("double", "single", "dynamic")
+_MODES = ("parallel", "serial")
+
+
+@dataclasses.dataclass
+class QuantizeConfig:
+    int_bits: int = 20
+    batch: bool = False
+    element_bits: int = 16
+    padding: bool = True
+    secure: bool = True
+
+    def check(self):
+        if self.element_bits < 2 or self.element_bits > 31:
+            raise ValueError("element_bits must be in [2, 31]")
+        if self.int_bits < self.element_bits:
+            raise ValueError("int_bits must be >= element_bits")
+        if not self.padding:
+            raise ValueError(
+                "only the padding+asymmetric quantizer is supported (the "
+                "reference's non-padding paths are dead code, "
+                "jzf_quantize.py:76-99)")
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class SecureAggregateArgs:
+    quantize: Optional[QuantizeConfig] = None
+    precompute_enable: bool = False
+    precompute_num_params: Optional[int] = None
+    mask: str = "double"
+    mode: str = "parallel"
+    num_partitions: int = 1
+    wire_pack: bool = False
+    # scheme-specific knobs (paillier key size, BFV/CKKS ring params)
+    key_length: int = 2048
+    poly_modulus_degree: int = 8192
+
+    def check(self):
+        if self.mask not in _MASKS:
+            raise ValueError(f"mask must be one of {_MASKS}")
+        if self.mode not in _MODES:
+            raise ValueError(f"mode must be one of {_MODES}")
+        if self.num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        if self.quantize is not None:
+            self.quantize.check()
+
+    def to_dict(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {
+            "mode": self.mode,
+            "num_partitions": self.num_partitions,
+            "wire_pack": self.wire_pack,
+            "mask": self.mask,
+            "precompute": {
+                "enable": self.precompute_enable,
+                "num_params": self.precompute_num_params,
+            },
+            "key_length": self.key_length,
+            "poly_modulus_degree": self.poly_modulus_degree,
+        }
+        if self.quantize is not None:
+            d["quantize"] = self.quantize.to_dict()
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "SecureAggregateArgs":
+        q = d.get("quantize")
+        pre = d.get("precompute", {}) or {}
+        return cls(
+            quantize=QuantizeConfig(**q) if q else None,
+            precompute_enable=pre.get("enable", False),
+            precompute_num_params=pre.get("num_params"),
+            mask=d.get("mask", "double"),
+            mode=d.get("mode", "parallel"),
+            num_partitions=d.get("num_partitions", 1),
+            wire_pack=d.get("wire_pack", False),
+            key_length=d.get("key_length", 2048),
+            poly_modulus_degree=d.get("poly_modulus_degree", 8192),
+        )
+
+
+@dataclasses.dataclass
+class HomoNNParam:
+    """The JZFHomoNN component parameter set (jzf_homo_nn_param.py:57-98)."""
+
+    model: str = "mlp"  # registry name (replaces Keras nn_define JSON)
+    model_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    secure_aggregate: str = "flashe"
+    secure_aggregate_args: SecureAggregateArgs = dataclasses.field(
+        default_factory=SecureAggregateArgs)
+    sparsity: float = 1.0
+    optimizer: str = "adam"
+    learning_rate: float = 5e-4
+    loss: str = "categorical_crossentropy"
+    max_iter: int = 10
+    batch_size: int = 128
+    aggregate_every_n_epoch: int = 1
+    early_stop: str = "diff"
+    eps: float = 1e-4
+    early_stop_enabled: bool = False  # the reference hard-disables early
+    # stopping with `and False` (enter_point.py:192); opt back in here
+
+    def check(self):
+        if self.secure_aggregate not in _SCHEMES:
+            raise ValueError(
+                f"secure_aggregate must be one of {_SCHEMES}")
+        if not (0.0 < self.sparsity <= 1.0):
+            raise ValueError("sparsity must be in (0, 1]")
+        if self.max_iter <= 0 or self.batch_size <= 0:
+            raise ValueError("max_iter and batch_size must be positive")
+        self.secure_aggregate_args.check()
+        if self.secure_aggregate in ("flashe", "plain") and (
+            self.secure_aggregate != "plain"
+            and self.secure_aggregate_args.quantize is None
+        ):
+            raise ValueError(f"{self.secure_aggregate} requires quantize args")
