@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from flashe_tpu.ops.lanes import lane_add, lane_sub
 from flashe_tpu.ops.masks import merge_size, prp_lane_stream
