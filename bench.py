@@ -52,9 +52,8 @@ def main():
 
     @jax.jit
     def aggregate(cts):
-        return jax.lax.reduce(
-            cts, jnp.uint32(0), lambda a, b: (a + b) & mask, (0,)
-        ) & mask
+        # exact for clients * 2^int_bits <= 2^32 (here 10 * 2^20)
+        return jnp.sum(cts, axis=0, dtype=jnp.uint32) & mask
 
     @jax.jit
     def decrypt(agg, it):

@@ -1,0 +1,223 @@
+"""Paillier baseline cipher with TPU limb-kernel modexp.
+
+Mirrors federatedml/secureprotol/jzf_paillier.py (textbook Paillier, CRT
+decryption, shared keypair in the semi-honest model: the guest generates
+and AES-wraps the private key for hosts; the arbiter only multiplies
+ciphertexts mod n^2).  The hot loop — r^n mod n^2 per element, the part
+the reference spreads over multiprocessing pools — runs as the vectorized
+Montgomery modexp kernel (flashe_tpu/ops/modmath.py) over the whole
+ciphertext batch at once.  Cheap big-int assembly (1+n*m, the L-function
+and CRT combine of decryption) stays on host: O(batch) python-int ops
+against O(batch * key_bits^2) limb work on device.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flashe_tpu.ops import modmath
+
+__all__ = ["PaillierKeypair", "PaillierPublicKey", "PaillierPrivateKey",
+           "PaillierCipher", "getprimeover"]
+
+_SMALL_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
+
+
+def _is_probable_prime(n: int, rounds: int = 30) -> bool:
+    if n < 2:
+        return False
+    for p in _SMALL_PRIMES:
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    rng = random.SystemRandom()
+    for _ in range(rounds):
+        a = rng.randrange(2, n - 1)
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = (x * x) % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def getprimeover(bits: int) -> int:
+    """Random prime with the top bit set (gmpy_math.getprimeover parity)."""
+    rng = random.SystemRandom()
+    while True:
+        cand = rng.getrandbits(bits) | (1 << (bits - 1)) | 1
+        if _is_probable_prime(cand):
+            return cand
+
+
+class PaillierPublicKey:
+    def __init__(self, n: int):
+        self.n = n
+        self.g = n + 1
+        self.nsquare = n * n
+        self.max_int = n // 3 - 1
+
+    def get_n(self):
+        return self.n
+
+    def encrypt_scalar(self, m: int, r: int | None = None) -> int:
+        """Host-side scalar encrypt (oracle for the device kernel)."""
+        if r is None:
+            r = random.SystemRandom().randrange(1, self.n)
+        c = (self.n * m + 1) % self.nsquare
+        return (c * pow(r, self.n, self.nsquare)) % self.nsquare
+
+
+class PaillierPrivateKey:
+    def __init__(self, public_key: PaillierPublicKey, p: int, q: int):
+        if p * q != public_key.n:
+            raise ValueError("keypair mismatch")
+        self.public_key = public_key
+        self.p, self.q = (q, p) if q < p else (p, q)
+        self.psquare = self.p * self.p
+        self.qsquare = self.q * self.q
+        self.q_inverse = pow(self.q, -1, self.p)
+        self.hp = self._h(self.p, self.psquare)
+        self.hq = self._h(self.q, self.qsquare)
+
+    def _l(self, x: int, p: int) -> int:
+        return (x - 1) // p
+
+    def _h(self, x: int, xsquare: int) -> int:
+        return pow(self._l(pow(self.public_key.g, x - 1, xsquare), x), -1, x)
+
+    def decrypt_scalar(self, c: int) -> int:
+        mp = self._l(pow(c, self.p - 1, self.psquare), self.p) * self.hp % self.p
+        mq = self._l(pow(c, self.q - 1, self.qsquare), self.q) * self.hq % self.q
+        u = (mp - mq) * self.q_inverse % self.p
+        return (mq + u * self.q) % self.public_key.n
+
+
+class PaillierKeypair:
+    @staticmethod
+    def generate_keypair(n_length: int = 2048):
+        n_len = 0
+        while n_len != n_length:
+            p = getprimeover(n_length // 2)
+            q = p
+            while q == p:
+                q = getprimeover(n_length // 2)
+            n = p * q
+            n_len = n.bit_length()
+        pub = PaillierPublicKey(n)
+        return pub, PaillierPrivateKey(pub, p, q)
+
+
+class PaillierCipher:
+    """Vectorized Paillier over limb arrays.
+
+    Values and ciphertexts at this interface are python-int numpy object
+    arrays (they come from the batching quantizer as big ints).
+    """
+
+    def __init__(self):
+        self.public_key: PaillierPublicKey | None = None
+        self.privacy_key: PaillierPrivateKey | None = None
+        self.n = None
+        self._ctx2: modmath.MontCtx | None = None
+        self._nbits_dev = None
+
+    # -- key management (reference jzf_paillier.py:152-185) ----------------
+
+    def generate_key(self, n_length: int = 2048):
+        self.public_key, self.privacy_key = PaillierKeypair.generate_keypair(
+            n_length)
+        self.set_public_key(self.public_key)
+
+    def set_public_key(self, public_key: PaillierPublicKey):
+        self.public_key = public_key
+        self.n = public_key.n
+        self._ctx2 = modmath.MontCtx(public_key.nsquare)
+        self._nbits_dev = jnp.asarray(
+            modmath.exponent_bits(self.n, self.n.bit_length()))
+
+    def set_privacy_key(self, privacy_key: PaillierPrivateKey):
+        self.privacy_key = privacy_key
+
+    def get_n(self):
+        return self.n
+
+    def get_key_pair(self):
+        return self.public_key, self.privacy_key
+
+    # -- vectorized encrypt/decrypt ----------------------------------------
+
+    def _obfuscators(self, count: int) -> list:
+        rng = random.SystemRandom()
+        return [rng.randrange(1, self.n) for _ in range(count)]
+
+    def encrypt(self, values) -> np.ndarray:
+        """values: object ints in [0, n) -> object-int ciphertexts mod n^2.
+
+        Device kernel computes s = r^n mod n^2 for the whole batch; the
+        host assembles c = (1 + n*m) * s mod n^2.
+        """
+        vals = [int(v) for v in np.asarray(values, dtype=object).ravel()]
+        ctx = self._ctx2
+        rs = self._obfuscators(len(vals))
+        r_limbs = jnp.asarray(modmath.to_limbs(rs, ctx.L))
+        s = modmath.mont_exp(ctx, modmath.mont_from(ctx, r_limbs),
+                             self._nbits_dev)
+        s = modmath.mont_to(ctx, s)
+        s_ints = modmath.from_limbs(np.asarray(s))
+        nsq = self.public_key.nsquare
+        out = [
+            ((self.n * m + 1) % nsq) * si % nsq
+            for m, si in zip(vals, s_ints)
+        ]
+        return np.array(out, dtype=object)
+
+    def decrypt(self, ciphertexts) -> np.ndarray:
+        """Aggregated ciphertexts -> plaintext sums (CRT, device modexp)."""
+        cts = [int(c) for c in np.asarray(ciphertexts, dtype=object).ravel()]
+        sk = self.privacy_key
+        ctx_p = modmath.MontCtx(sk.psquare)
+        ctx_q = modmath.MontCtx(sk.qsquare)
+        cp = jnp.asarray(modmath.to_limbs([c % sk.psquare for c in cts], ctx_p.L))
+        cq = jnp.asarray(modmath.to_limbs([c % sk.qsquare for c in cts], ctx_q.L))
+        ep = jnp.asarray(modmath.exponent_bits(sk.p - 1, sk.p.bit_length()))
+        eq = jnp.asarray(modmath.exponent_bits(sk.q - 1, sk.q.bit_length()))
+        xp = modmath.mont_to(ctx_p, modmath.mont_exp(
+            ctx_p, modmath.mont_from(ctx_p, cp), ep))
+        xq = modmath.mont_to(ctx_q, modmath.mont_exp(
+            ctx_q, modmath.mont_from(ctx_q, cq), eq))
+        xp_ints = modmath.from_limbs(np.asarray(xp))
+        xq_ints = modmath.from_limbs(np.asarray(xq))
+        out = []
+        for xpi, xqi in zip(xp_ints, xq_ints):
+            mp = sk._l(xpi, sk.p) * sk.hp % sk.p
+            mq = sk._l(xqi, sk.q) * sk.hq % sk.q
+            u = (mp - mq) * sk.q_inverse % sk.p
+            out.append((mq + u * sk.q) % self.n)
+        return np.array(out, dtype=object)
+
+    def add_ciphertexts(self, ct_arrays) -> np.ndarray:
+        """Homomorphic aggregate: elementwise product mod n^2
+        (jzf_aggregator.py:437-439), chained on device."""
+        ctx = self._ctx2
+        monts = []
+        for arr in ct_arrays:
+            ints = [int(c) for c in np.asarray(arr, dtype=object).ravel()]
+            monts.append(modmath.mont_from(
+                ctx, jnp.asarray(modmath.to_limbs(ints, ctx.L))))
+        acc = monts[0]
+        for m in monts[1:]:
+            acc = modmath.mont_mul(ctx, acc, m)
+        out = modmath.from_limbs(np.asarray(modmath.mont_to(ctx, acc)))
+        return np.array(out, dtype=object)

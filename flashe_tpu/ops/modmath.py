@@ -1,0 +1,237 @@
+"""Fixed-limb modular bignum arithmetic for the general-HE baselines.
+
+The reference's Paillier baseline runs per-element 2048-bit modexp through
+gmpy2 on CPU pools (jzf_paillier.py:190-237).  Here big numbers are
+(batch, L) uint32 arrays of 16-bit little-endian limbs and modular
+multiplication is CIOS Montgomery reduction vectorized over the batch —
+the TPU-native shape: every step is an elementwise/broadcast VPU op over
+the batch x limb grid and 16-bit limb products fit uint32 exactly
+((2^16-1)^2 < 2^32).
+
+Carry discipline: limb products are split into lo/hi halves and
+accumulated into uint32 "lazy" accumulators; they grow by < 2^18 per CIOS
+step, so for L <= 512 they stay < 2^27 and one exact normalization at the
+end suffices.  Normalization and subtraction use a Kogge-Stone style
+generate/propagate carry resolution via jax.lax.associative_scan (log-depth
+instead of a ripple chain).  Montgomery's per-step m = t0 * n' mod 2^16
+needs only t0's low 16 bits, which are exact in the lazy representation
+(all other limbs carry weight 2^16k).
+
+Exponents are passed as bit arrays and processed with a constant-time
+square-and-always-multiply lax.scan — branchless, which is both
+XLA-friendly and the right thing for secret exponents (Paillier CRT
+decryption).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "MontCtx", "to_limbs", "from_limbs", "add_limbs", "sub_limbs", "geq",
+    "normalize", "mont_mul", "mont_exp", "mont_from", "mont_to",
+    "exponent_bits",
+]
+
+_BASE_BITS = 16
+_BASE = 1 << _BASE_BITS
+_BMASK = _BASE - 1
+
+
+# ---------------------------------------------------------------------------
+# host conversions
+# ---------------------------------------------------------------------------
+
+def to_limbs(values, L: int) -> np.ndarray:
+    """python ints -> (B, L) uint32 array of 16-bit limbs."""
+    out = np.zeros((len(values), L), np.uint32)
+    for i, v in enumerate(values):
+        v = int(v)
+        for j in range(L):
+            out[i, j] = v & _BMASK
+            v >>= _BASE_BITS
+        if v:
+            raise ValueError("value does not fit in L limbs")
+    return out
+
+
+def from_limbs(limbs: np.ndarray) -> list:
+    """(B, L) uint32 limb array -> python ints."""
+    out = []
+    for row in np.asarray(limbs):
+        v = 0
+        for j in reversed(range(row.shape[0])):
+            v = (v << _BASE_BITS) | int(row[j])
+        out.append(v)
+    return out
+
+
+def exponent_bits(e: int, nbits: int) -> np.ndarray:
+    """LSB-first bit array of an exponent, padded to nbits."""
+    return np.array([(e >> i) & 1 for i in range(nbits)], np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# exact carry resolution (Kogge-Stone over limbs)
+# ---------------------------------------------------------------------------
+
+def _resolve_carries(s: jnp.ndarray) -> jnp.ndarray:
+    """Digits s < 2*BASE -> normalized digits < BASE (exact addition tail).
+
+    Carry recurrence c_{j+1} = g_j | (p_j & c_j) with g = s>=BASE,
+    p = s==BASE-1 is associative; resolved in log L steps.
+    """
+    g = (s >= _BASE).astype(jnp.uint32)
+    p = (s == _BMASK).astype(jnp.uint32)
+
+    def combine(lo, hi):
+        g1, p1 = lo
+        g2, p2 = hi
+        return (g2 | (p2 & g1), p1 & p2)
+
+    G, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(G[..., :1]), G[..., :-1]], axis=-1)
+    return (s + carry_in) & _BMASK
+
+
+def add_limbs(a: jnp.ndarray, b: jnp.ndarray,
+              carry_in0: int = 0) -> jnp.ndarray:
+    """Exact addition of normalized limb vectors (result truncated mod R)."""
+    s = a + b
+    if carry_in0:
+        s = s.at[..., 0].add(carry_in0)
+    return _resolve_carries(s)
+
+
+def sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a - b mod R over normalized limbs (two's complement addition)."""
+    comp = _BMASK - b
+    return add_limbs(a, comp, carry_in0=1)
+
+
+def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic a >= b over normalized limb vectors -> bool (B,)."""
+    L = a.shape[-1]
+    gt = jnp.zeros(a.shape[:-1], jnp.bool_)
+    eq = jnp.ones(a.shape[:-1], jnp.bool_)
+    for j in reversed(range(L)):
+        gt = gt | (eq & (a[..., j] > b[..., j]))
+        eq = eq & (a[..., j] == b[..., j])
+    return gt | eq
+
+
+def normalize(t: jnp.ndarray) -> jnp.ndarray:
+    """Lazy accumulators (< 2^27 per digit) -> normalized digits < BASE."""
+    lo = t & _BMASK
+    hi = t >> _BASE_BITS  # < 2^11
+    hi_shifted = jnp.concatenate(
+        [jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
+    s = lo + hi_shifted  # < BASE + 2^11: one more split may be needed
+    lo2 = s & _BMASK
+    hi2 = s >> _BASE_BITS  # 0 or 1
+    hi2_shifted = jnp.concatenate(
+        [jnp.zeros_like(hi2[..., :1]), hi2[..., :-1]], axis=-1)
+    return _resolve_carries(lo2 + hi2_shifted)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery context and kernels
+# ---------------------------------------------------------------------------
+
+class MontCtx:
+    """Montgomery context for an odd modulus n over L 16-bit limbs."""
+
+    def __init__(self, n: int, L: int | None = None):
+        if n % 2 == 0:
+            raise ValueError("modulus must be odd")
+        self.n = n
+        self.L = L if L is not None else -(-n.bit_length() // _BASE_BITS)
+        if self.L > 512:
+            raise ValueError("modulus too large (L > 512)")
+        self.R = 1 << (_BASE_BITS * self.L)
+        if self.R <= n:
+            raise ValueError("L too small for modulus")
+        self.n_prime = (-pow(n, -1, _BASE)) % _BASE
+        self.r2 = (self.R * self.R) % n
+        self.n_limbs = jnp.asarray(to_limbs([n], self.L)[0])
+        self.r2_limbs = jnp.asarray(to_limbs([self.r2], self.L)[0])
+        self.one_mont = jnp.asarray(to_limbs([self.R % n], self.L)[0])
+
+
+def _cond_sub_n(t: jnp.ndarray, n_limbs: jnp.ndarray) -> jnp.ndarray:
+    need = geq(t, n_limbs)
+    sub = sub_limbs(t, jnp.broadcast_to(n_limbs, t.shape))
+    return jnp.where(need[..., None], sub, t)
+
+
+def mont_mul(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product a*b*R^-1 mod n.
+
+    a, b: (B, L) normalized uint32 limbs, values < n.  Returns (B, L)
+    normalized, value < n.
+    """
+    L = ctx.L
+    n_limbs = ctx.n_limbs
+    n_prime = jnp.uint32(ctx.n_prime)
+    B = a.shape[0]
+    t = jnp.zeros((B, L + 2), jnp.uint32)
+
+    def step(i, t):
+        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=1)  # (B,1)
+        p = ai * b  # (B,L) uint32, exact
+        t = t.at[:, :L].add(p & _BMASK)
+        t = t.at[:, 1 : L + 1].add(p >> _BASE_BITS)
+        m = ((t[:, 0] & _BMASK) * n_prime) & _BMASK  # (B,)
+        q = m[:, None] * n_limbs[None, :]
+        t = t.at[:, :L].add(q & _BMASK)
+        t = t.at[:, 1 : L + 1].add(q >> _BASE_BITS)
+        # shift one limb right; t[:,0] low 16 bits are exactly zero now
+        carry0 = t[:, 0] >> _BASE_BITS
+        t = jnp.concatenate([t[:, 1:], jnp.zeros((B, 1), jnp.uint32)], axis=1)
+        t = t.at[:, 0].add(carry0)
+        return t
+
+    t = jax.lax.fori_loop(0, L, step, t)
+    t = normalize(t)
+    # T < 2n may exceed R (limb L set); subtract n whenever the overflow
+    # limb is set or the low L limbs are >= n — mod-R subtraction yields
+    # the exact low limbs either way since T - n < n < R.
+    low = t[:, :L]
+    need = (t[:, L] > 0) | geq(low, n_limbs)
+    sub = sub_limbs(low, jnp.broadcast_to(n_limbs, low.shape))
+    return jnp.where(need[:, None], sub, low)
+
+
+def mont_from(ctx: MontCtx, x: jnp.ndarray) -> jnp.ndarray:
+    """Enter Montgomery domain: x*R mod n."""
+    return mont_mul(ctx, x, jnp.broadcast_to(ctx.r2_limbs, x.shape))
+
+
+def mont_to(ctx: MontCtx, x: jnp.ndarray) -> jnp.ndarray:
+    """Leave Montgomery domain: x*R^-1 mod n."""
+    one = jnp.zeros_like(x).at[..., 0].set(1)
+    return mont_mul(ctx, x, one)
+
+
+def mont_exp(ctx: MontCtx, base_mont: jnp.ndarray,
+             ebits: jnp.ndarray) -> jnp.ndarray:
+    """base^e mod n in the Montgomery domain.
+
+    base_mont: (B, L) in Montgomery form.  ebits: (nbits,) uint32 LSB-first
+    (may be a traced array — secret exponents run constant-time).
+    Returns (B, L) in Montgomery form.
+    """
+    acc0 = jnp.broadcast_to(ctx.one_mont, base_mont.shape)
+
+    def step(carry, bit):
+        acc, b = carry
+        mul = mont_mul(ctx, acc, b)
+        acc = jnp.where(bit > 0, mul, acc)
+        b = mont_mul(ctx, b, b)
+        return (acc, b), None
+
+    (acc, _), _ = jax.lax.scan(step, (acc0, base_mont), ebits)
+    return acc

@@ -17,7 +17,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/flashe_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/flashe_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"

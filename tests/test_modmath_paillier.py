@@ -1,0 +1,89 @@
+"""Montgomery limb kernels and the Paillier baseline vs python-int oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flashe_tpu.crypto import paillier
+from flashe_tpu.ops import modmath
+
+
+def test_limb_roundtrip():
+    vals = [0, 1, (1 << 500) - 3, 123456789 ** 5]
+    limbs = modmath.to_limbs(vals, 40)
+    assert modmath.from_limbs(limbs) == vals
+
+
+def test_add_sub_limbs():
+    rng = np.random.RandomState(0)
+    L = 20
+    a = [int.from_bytes(rng.bytes(L * 2 - 1), "big") for _ in range(8)]
+    b = [int.from_bytes(rng.bytes(L * 2 - 1), "big") for _ in range(8)]
+    A = jnp.asarray(modmath.to_limbs(a, L))
+    B = jnp.asarray(modmath.to_limbs(b, L))
+    R = 1 << (16 * L)
+    got_add = modmath.from_limbs(np.asarray(modmath.add_limbs(A, B)))
+    assert got_add == [(x + y) % R for x, y in zip(a, b)]
+    got_sub = modmath.from_limbs(np.asarray(modmath.sub_limbs(A, B)))
+    assert got_sub == [(x - y) % R for x, y in zip(a, b)]
+
+
+@pytest.mark.parametrize("nbits", [256, 1024])
+def test_mont_mul_and_exp(nbits):
+    rng = np.random.RandomState(1)
+    # deterministic odd modulus
+    n = (int.from_bytes(rng.bytes(nbits // 8), "big") | (1 << (nbits - 1))) | 1
+    ctx = modmath.MontCtx(n)
+    a = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n for _ in range(5)]
+    b = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n for _ in range(5)]
+    A = modmath.mont_from(ctx, jnp.asarray(modmath.to_limbs(a, ctx.L)))
+    B = modmath.mont_from(ctx, jnp.asarray(modmath.to_limbs(b, ctx.L)))
+    prod = modmath.mont_to(ctx, modmath.mont_mul(ctx, A, B))
+    got = modmath.from_limbs(np.asarray(prod))
+    assert got == [(x * y) % n for x, y in zip(a, b)]
+
+    e = 0x10001
+    ebits = jnp.asarray(modmath.exponent_bits(e, 17))
+    powed = modmath.mont_to(ctx, modmath.mont_exp(ctx, A, ebits))
+    got = modmath.from_limbs(np.asarray(powed))
+    assert got == [pow(x, e, n) for x in a]
+
+
+def test_paillier_roundtrip_small_key():
+    c = paillier.PaillierCipher()
+    c.generate_key(n_length=512)  # small key: fast tests, same kernels
+    rng = np.random.RandomState(2)
+    msgs = np.array([int(v) for v in rng.randint(0, 1 << 40, 6)], dtype=object)
+    cts = c.encrypt(msgs)
+    dec = c.decrypt(cts)
+    assert list(dec) == list(msgs)
+
+
+def test_paillier_homomorphic_sum():
+    c = paillier.PaillierCipher()
+    c.generate_key(n_length=512)
+    rng = np.random.RandomState(3)
+    batches = [
+        np.array([int(v) for v in rng.randint(0, 1 << 30, 4)], dtype=object)
+        for _ in range(3)
+    ]
+    cts = [c.encrypt(b) for b in batches]
+    agg = c.add_ciphertexts(cts)
+    dec = c.decrypt(agg)
+    want = [int(sum(b[i] for b in batches)) for i in range(4)]
+    assert list(dec) == want
+
+
+def test_device_encrypt_matches_host_oracle():
+    """The device modexp path must agree with host pow() for fixed r."""
+    pub, prv = paillier.PaillierKeypair.generate_keypair(512)
+    c = paillier.PaillierCipher()
+    c.set_public_key(pub)
+    c.set_privacy_key(prv)
+    # deterministic obfuscators for reproducibility
+    rs = [12345, 67890, 13579]
+    c._obfuscators = lambda count: rs[:count]
+    msgs = np.array([1, 2, 3], dtype=object)
+    cts = c.encrypt(msgs)
+    want = [pub.encrypt_scalar(int(m), r) for m, r in zip(msgs, rs)]
+    assert list(cts) == want
