@@ -1,0 +1,179 @@
+"""CKKS baseline cipher (approximate HE for floats).
+
+Replaces the reference's TenSEAL 0.3.1 wrapper
+(federatedml/secureprotol/jzf_ckks.py): context(poly_modulus_degree,
+global_scale=2^40), SYMMETRIC encryption, vector encrypt / decrypt and
+ciphertext addition — the only operations the aggregation pipeline uses
+(jzf_aggregator.py:445-448; note the CKKS block skips quantization and
+ships floats, jzf_ckks_block.py:84-94).
+
+Design: canonical-embedding encode/decode run on host in float64 (there is
+no f64 on TPU and encode precision sets the scheme's accuracy — same split
+as the reference, where encoding lives in C++ on host), while all ring
+arithmetic (NTT, s*c1, ct adds) runs as JAX RNS tensors.  Slots use the
+standard 5^j orbit ordering, so slotwise addition is exact under the
+embedding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from flashe_tpu.ops import ntt as nttmod
+
+__all__ = ["CKKSCipher"]
+
+
+def _k_for_degree(m: int) -> int:
+    return {1024: 2, 2048: 2, 4096: 4, 8192: 6}.get(m, 6)
+
+
+class CKKSCipher:
+    def __init__(self, poly_modulus_degree: int = 8192,
+                 coeff_mod_bit_sizes=None, global_scale: float = 2.0 ** 40,
+                 seed: int | None = None):
+        self.N = int(poly_modulus_degree)
+        self.slots = self.N // 2
+        self.scale = float(global_scale)
+        self.k = _k_for_degree(self.N)
+        primes = nttmod.find_ntt_primes(self.k, 30, 2 * self.N)
+        self.ctx = nttmod.RnsContext(self.N, primes)
+        self.q = self.ctx.q
+        self._rng = np.random.RandomState(seed)
+        self.sk_ntt = None
+        self.sk_coeffs = None
+
+        # canonical embedding via FFT: evaluation at zeta^(5^i) maps to
+        # DFT bin k_i = (5^i - 1)/2 after a zeta^j pre-twist; conjugate
+        # roots land at bins N-1-k_i.  O(N log N), O(N) memory.
+        r = np.empty(self.slots, np.int64)
+        cur = 1
+        for j in range(self.slots):
+            r[j] = cur
+            cur = (cur * 5) % (2 * self.N)
+        self._bins = ((r - 1) // 2).astype(np.int64)
+        self._twist = np.exp(1j * np.pi * np.arange(self.N) / self.N)
+
+    # -- keys --------------------------------------------------------------
+
+    def generate_keys(self):
+        rng = self._rng
+        s = rng.randint(-1, 2, self.N).astype(np.int64)
+        self.sk_coeffs = s
+        self.sk_ntt = nttmod.ntt(self.ctx, jnp.asarray(self._to_res(s)))
+        return self
+
+    def serialize_secret(self) -> bytes:
+        return self.sk_coeffs.astype(np.int8).tobytes()
+
+    def load_secret(self, blob: bytes):
+        s = np.frombuffer(blob, np.int8).astype(np.int64)
+        self.sk_coeffs = s
+        self.sk_ntt = nttmod.ntt(self.ctx, jnp.asarray(self._to_res(s)))
+        return self
+
+    # -- residue helpers ---------------------------------------------------
+
+    def _to_res(self, coeffs) -> np.ndarray:
+        coeffs = np.asarray(coeffs)
+        out = np.empty(coeffs.shape[:-1] + (self.k, self.N), np.uint32)
+        if coeffs.dtype == object:
+            for ki, p in enumerate(self.ctx.primes):
+                flat = coeffs.reshape(-1, self.N)
+                res = np.empty(flat.shape, np.uint32)
+                for b in range(flat.shape[0]):
+                    res[b] = np.array(
+                        [int(c) % p for c in flat[b]], np.uint32)
+                out[..., ki, :] = res.reshape(coeffs.shape[:-1] + (self.N,))
+        else:
+            for ki, p in enumerate(self.ctx.primes):
+                out[..., ki, :] = np.mod(coeffs.astype(np.int64), p).astype(
+                    np.uint32)
+        return out
+
+    def _crt_centered(self, res: np.ndarray) -> np.ndarray:
+        """(k, N) residues -> object ints centered in (-q/2, q/2]."""
+        q = self.q
+        total = np.zeros(self.N, dtype=object)
+        for ki, p in enumerate(self.ctx.primes):
+            qi = q // p
+            inv = pow(qi % p, -1, p)
+            total += res[ki].astype(object) * (qi * inv)
+        total %= q
+        return np.array(
+            [int(x) - q if x > q // 2 else int(x) for x in total],
+            dtype=object)
+
+    # -- encode / decode (host, float64) -----------------------------------
+
+    def _encode(self, values: np.ndarray) -> np.ndarray:
+        """(B, slots) floats -> (B, N) object-int coeffs (scaled)."""
+        v = np.asarray(values, np.float64)
+        B = v.shape[0]
+        out = np.empty((B, self.N), dtype=object)
+        for b in range(B):
+            spec_full = np.zeros(self.N, np.complex128)
+            spec_full[self._bins] = v[b]
+            spec_full[self.N - 1 - self._bins] = np.conj(
+                v[b].astype(np.complex128))
+            coeffs = (np.fft.fft(spec_full) / self.N / self._twist).real
+            out[b] = np.array(
+                [int(round(c * self.scale)) for c in coeffs], dtype=object)
+        return out
+
+    def _decode(self, coeffs: np.ndarray) -> np.ndarray:
+        """(B, N) object-int coeffs -> (B, slots) floats."""
+        B = coeffs.shape[0]
+        out = np.empty((B, self.slots), np.float64)
+        for b in range(B):
+            c = np.array([float(x) for x in coeffs[b]], np.float64)
+            evals = np.fft.ifft(c * self._twist) * self.N
+            out[b] = evals[self._bins].real / self.scale
+        return out
+
+    # -- encrypt / decrypt / add ------------------------------------------
+
+    def encrypt(self, values: np.ndarray) -> np.ndarray:
+        """(n,) floats -> (B, 2, k, N) symmetric ciphertexts."""
+        vals = np.asarray(values, np.float64).ravel()
+        n_ct = -(-len(vals) // self.slots)
+        padded = np.zeros(n_ct * self.slots, np.float64)
+        padded[: len(vals)] = vals
+        pt = self._encode(padded.reshape(n_ct, self.slots))
+        rng = self._rng
+        B = n_ct
+        a = np.stack([
+            np.stack([rng.randint(0, p, self.N, dtype=np.int64).astype(
+                np.uint32) for p in self.ctx.primes])
+            for _ in range(B)
+        ])  # (B, k, N) uniform
+        e = np.stack([
+            np.clip(np.round(rng.randn(self.N) * 3.2), -19, 19).astype(
+                np.int64) for _ in range(B)
+        ])
+        a_ntt = nttmod.ntt(self.ctx, jnp.asarray(a))
+        e_ntt = nttmod.ntt(self.ctx, jnp.asarray(self._to_res(e)))
+        m_ntt = nttmod.ntt(self.ctx, jnp.asarray(self._to_res(pt)))
+        c0 = self.ctx.add(
+            self.ctx.neg(self.ctx.mul(a_ntt, self.sk_ntt)),
+            self.ctx.add(e_ntt, m_ntt))
+        return np.stack([np.asarray(c0), np.asarray(a_ntt)], axis=1)
+
+    def decrypt(self, cts: np.ndarray, count: int) -> np.ndarray:
+        cts = np.asarray(cts)
+        c0 = jnp.asarray(cts[:, 0])
+        c1 = jnp.asarray(cts[:, 1])
+        v = np.asarray(nttmod.intt(
+            self.ctx, self.ctx.add(c0, self.ctx.mul(c1, self.sk_ntt))))
+        B = v.shape[0]
+        coeffs = np.empty((B, self.N), dtype=object)
+        for b in range(B):
+            coeffs[b] = self._crt_centered(v[b])
+        return self._decode(coeffs).reshape(-1)[:count]
+
+    def add_ciphertexts(self, ct_arrays) -> np.ndarray:
+        acc = jnp.asarray(np.asarray(ct_arrays[0]))
+        for ct in ct_arrays[1:]:
+            acc = self.ctx.add(acc, jnp.asarray(np.asarray(ct)))
+        return np.asarray(acc)
