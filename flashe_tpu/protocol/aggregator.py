@@ -173,21 +173,21 @@ class Arbiter:
                 d = np.full(total, zero, lanes.dtype)
                 d[loc] = lanes
                 dense.append(d)
-            arrays = [jnp.asarray(d) for d in dense]
+            arrays = dense
         else:
-            arrays = [jnp.asarray(np.asarray(p.lanes)) for p in payloads]
+            arrays = [np.asarray(p.lanes) for p in payloads]
 
-        if scheme in ("flashe",) or (
+        if scheme in ("paillier", "bfv", "ckks"):
+            return self._block.add_ciphertexts(arrays)
+
+        arrays = [jnp.asarray(a) for a in arrays]
+        if scheme == "flashe" or (
             scheme == "plain" and payloads[0].int_bits is not None
         ):
             int_bits = self._block.int_bits
             acc = arrays[0]
             for a in arrays[1:]:
                 acc = lane_add(acc, a, int_bits)
-        elif scheme == "paillier":
-            acc = self._block.cipher.add_ciphertexts(arrays)
-        elif scheme in ("bfv", "ckks"):
-            acc = self._block.cipher.add_ciphertexts(arrays)
         else:  # plain float
             acc = functools.reduce(lambda x, y: x + y, arrays)
         return acc
@@ -375,11 +375,8 @@ class Client:
             enc = jnp.concatenate(
                 [enc, jnp.asarray([qz], dtype=enc.dtype)])
 
-        int_bits = (
-            self._block.int_bits
-            if getattr(self._block, "int_bits", None) is not None
-            else None
-        )
+        int_bits = getattr(self._block, "wire_int_bits",
+                           getattr(self._block, "int_bits", None))
         payload = ModelPayload(
             lanes=enc, n_elements=n_elements, int_bits=int_bits,
             degree=self.degree, idx_list=self._block.get_idx_list())
@@ -428,14 +425,15 @@ class Client:
 
         degrees = payload.degree
         total_idx_list = payload.idx_list
-        lanes = jnp.asarray(np.asarray(payload.lanes))
-
-        if self._secure_aggregate in ("flashe", "paillier", "bfv", "ckks"):
+        if self._secure_aggregate in ("paillier", "bfv", "ckks"):
             with phase("decryption"):
-                if self._secure_aggregate == "flashe":
+                lanes = self._block.decrypt(np.asarray(payload.lanes),
+                                            payload.n_elements)
+        else:
+            lanes = jnp.asarray(np.asarray(payload.lanes))
+            if self._secure_aggregate == "flashe":
+                with phase("decryption"):
                     lanes = self._block.decrypt(lanes, total_idx_list)
-                else:
-                    lanes = self._block.decrypt(lanes)
 
         with phase("decoding"):
             flat = self._block.unquantize(lanes, payload.n_elements)

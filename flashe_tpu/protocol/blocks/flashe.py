@@ -46,6 +46,7 @@ class Arbiter(uuid_sync.Arbiter, dh_sync.Arbiter):
     def __init__(self, args):
         a = _parse_args(args)
         self.int_bits = a["int_bits"]
+        self.wire_int_bits = a["int_bits"]
         self.batch = a["batch"]
         self.element_bits = a["element_bits"]
         self.secure = a["secure"]
@@ -138,6 +139,7 @@ class _Client(uuid_sync.Client, dh_sync.Client):
     def __init__(self, args):
         a = _parse_args(args)
         self.int_bits = a["int_bits"]
+        self.wire_int_bits = a["int_bits"]
         self.batch = a["batch"]
         self.element_bits = a["element_bits"]
         self.padding = a["padding"]

@@ -19,6 +19,7 @@ class Arbiter:
         q = self.args.get("quantize")
         self.has_quantize = q is not None
         self.int_bits = q["int_bits"] if q else None
+        self.wire_int_bits = self.int_bits
         self.quantizer = None
         self._trv = None
 
@@ -57,6 +58,7 @@ class _Client:
         q = self.args.get("quantize")
         self.has_quantize = q is not None
         self.int_bits = q["int_bits"] if q else None
+        self.wire_int_bits = self.int_bits
         self.quantizer = None
         self._to_arbiter = None
         self._from_arbiter = None

@@ -57,8 +57,12 @@ class ModelPayload:
     def wire_bytes(self) -> int:
         if self.packed is not None:
             return len(self.packed)
+        arr = np.asarray(self.lanes)
+        if arr.dtype == object:  # big-int ciphertexts (Paillier)
+            return int(sum((int(v).bit_length() + 7) // 8
+                           for v in arr.ravel()))
         if self.int_bits is None:
-            return int(np.asarray(self.lanes).nbytes)
+            return int(arr.nbytes)
         return packops.packed_nbytes(self.n_lanes, self.int_bits)
 
 
