@@ -42,7 +42,7 @@ def main():
 
     n, c, m = args.elements, args.clients, args.int_bits
     rk = jnp.asarray(aes.key_schedule(bytes(range(32))).astype(np.int32))
-    mask = jnp.uint32((1 << m) - 1)
+    mask = np.uint32((1 << m) - 1)
 
     @jax.jit
     def encrypt(q, it, idx):

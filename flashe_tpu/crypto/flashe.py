@@ -44,13 +44,27 @@ __all__ = ["FlasheCipher"]
 _SEED_BITS = 256
 
 
-@functools.partial(
-    jax.jit, static_argnames=("count", "int_bits", "use_circuit")
-)
+@functools.lru_cache(maxsize=None)
+def _stream_fn(count, int_bits, use_circuit):
+    # AOT-compile one executable per static configuration and call it
+    # directly.  The runtime's jit dispatch cache has been observed to
+    # confuse executables of stream programs that differ only in the
+    # static lane count ("Execution supplied N buffers but compiled
+    # program expected M"); explicit lower().compile() sidesteps that
+    # dispatch path entirely.
+    def f(rk, iter_index, stream_idx):
+        return prp_lane_stream(rk, iter_index, stream_idx, count, int_bits,
+                               use_circuit=use_circuit)
+
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    rk_s = jax.ShapeDtypeStruct((15, 16), jnp.int32)
+    return jax.jit(f).lower(rk_s, i32, i32).compile()
+
+
 def _stream(rk, iter_index, stream_idx, count, int_bits, use_circuit=True):
-    return prp_lane_stream(
-        rk, iter_index, stream_idx, count, int_bits, use_circuit=use_circuit
-    )
+    return _stream_fn(count, int_bits, use_circuit)(
+        jnp.asarray(rk, jnp.int32), jnp.asarray(iter_index, jnp.int32),
+        jnp.asarray(stream_idx, jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("int_bits",))

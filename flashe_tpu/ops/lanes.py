@@ -39,7 +39,9 @@ def lane_mask(int_bits: int) -> jnp.ndarray:
     nl = nlimbs_for(int_bits)
     top_bits = int_bits - 32 * (nl - 1)
     top = (1 << top_bits) - 1 if top_bits < 32 else 0xFFFFFFFF
-    return jnp.asarray([0xFFFFFFFF] * (nl - 1) + [top], dtype=jnp.uint32)
+    # numpy (not device) array: inlined as a literal when traced, avoiding
+    # hoisted-constant executables in the runtime's dispatch path
+    return np.asarray([0xFFFFFFFF] * (nl - 1) + [top], dtype=np.uint32)
 
 
 def _is_multi(x: jnp.ndarray, int_bits: int) -> bool:
@@ -52,7 +54,7 @@ def lane_add(a: jnp.ndarray, b: jnp.ndarray, int_bits: int) -> jnp.ndarray:
     b = b.astype(jnp.uint32)
     nl = nlimbs_for(int_bits)
     if nl == 1:
-        m = jnp.uint32((1 << int_bits) - 1) if int_bits < 32 else jnp.uint32(
+        m = np.uint32((1 << int_bits) - 1) if int_bits < 32 else np.uint32(
             0xFFFFFFFF
         )
         return (a + b) & m
@@ -76,7 +78,7 @@ def lane_sub(a: jnp.ndarray, b: jnp.ndarray, int_bits: int) -> jnp.ndarray:
     b = b.astype(jnp.uint32)
     nl = nlimbs_for(int_bits)
     if nl == 1:
-        m = jnp.uint32((1 << int_bits) - 1) if int_bits < 32 else jnp.uint32(
+        m = np.uint32((1 << int_bits) - 1) if int_bits < 32 else np.uint32(
             0xFFFFFFFF
         )
         return (a - b) & m

@@ -105,7 +105,7 @@ def lanes_from_blocks(out_bytes: jnp.ndarray, int_bits: int) -> jnp.ndarray:
         return (words[wi] >> off) | (words[wi + 1] << (32 - off))
 
     top_bits = int_bits - 32 * (nl - 1)
-    top_mask = jnp.uint32((1 << top_bits) - 1) if top_bits < 32 else jnp.uint32(
+    top_mask = np.uint32((1 << top_bits) - 1) if top_bits < 32 else np.uint32(
         0xFFFFFFFF
     )
 
@@ -127,6 +127,7 @@ def prp_lane_stream(
     int_bits: int,
     begin_block=0,
     use_circuit: bool = True,
+    impl: str = "bitsliced",
 ) -> jnp.ndarray:
     """Mask lanes for elements [0, count) of stream (iter_index, stream_idx).
 
@@ -134,7 +135,18 @@ def prp_lane_stream(
     `begin_block` offsets the counter for sharded generation: a shard owning
     elements [s*merge*k, ...) passes begin_block = s*k and gets bit-identical
     lanes to the corresponding slice of the full stream.
+
+    impl='bitsliced' (default) packs 32 counter blocks per uint32 bit —
+    ~30x less VPU arithmetic (flashe_tpu/ops/aes_bitsliced.py); it requires
+    begin_block to be a multiple of 32 (callers align shard boundaries via
+    flashe_tpu/parallel/sharded.padded_lane_count).  impl='byteplane' is
+    the reference-shaped fallback for unaligned offsets.
     """
+    if impl == "bitsliced":
+        from flashe_tpu.ops.aes_bitsliced import bitsliced_prp_lane_stream
+
+        return bitsliced_prp_lane_stream(round_keys, iter_index, stream_idx,
+                                         count, int_bits, begin_block)
     nb = num_blocks(count, int_bits)
     blocks = index_blocks(iter_index, stream_idx, begin_block, nb)
     out = aes.aes_encrypt_blocks(blocks, jnp.asarray(round_keys, jnp.int32),

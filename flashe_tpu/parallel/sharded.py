@@ -42,8 +42,9 @@ def make_mesh(n_clients_axis: int, n_lane_shards: int,
 
 
 def padded_lane_count(n: int, int_bits: int, n_shards: int) -> int:
-    """Round lanes up so shard boundaries align with AES block boundaries."""
-    quantum = merge_size(int_bits) * n_shards
+    """Round lanes up so every shard starts on a 32-aligned AES block
+    (the bitsliced stream generator's group granularity)."""
+    quantum = merge_size(int_bits) * 32 * n_shards
     return -(-n // quantum) * quantum
 
 
@@ -98,7 +99,7 @@ def encrypted_aggregate(mesh: Mesh, rk, q, iter_index, int_bits: int,
         qb = q_block[0]  # (shard_lanes,)
         ct = encrypt_shard(rk, qb, iter_index, c, s, int_bits, use_circuit)
         agg = jax.lax.psum(ct, "clients")
-        m = jnp.uint32((1 << int_bits) - 1) if int_bits < 32 else jnp.uint32(
+        m = np.uint32((1 << int_bits) - 1) if int_bits < 32 else np.uint32(
             0xFFFFFFFF)
         agg = agg & m
         out = decrypt_shard(rk, agg, iter_index, num_clients, s, int_bits,

@@ -1,0 +1,78 @@
+"""TCP broker federation: multi-threaded parties over real sockets,
+including >4MB payload fragmentation (the reference's splitable transfer,
+arch/api/utils/splitable.py:48)."""
+
+import threading
+
+import numpy as np
+
+from flashe_tpu.fed.consts import ARBITER, GUEST, HOST
+from flashe_tpu.fed.tcp import FedBroker, TcpFederation
+from flashe_tpu.fed.transport import Party, default_parties
+from flashe_tpu.fed.variables import HomoTransferVariables
+
+
+def test_tcp_roundtrip_and_fragmentation():
+    broker = FedBroker()
+    parties = default_parties(n_hosts=1)
+    auth = HomoTransferVariables.authorization()
+
+    results = {}
+
+    def guest():
+        fed = TcpFederation(broker.address, "job", parties[0], parties, auth)
+        trv = HomoTransferVariables(fed)
+        big = np.arange(2_000_000, dtype=np.float64)  # ~16MB -> 4 fragments
+        trv.guest_to_arbiter.remote(obj=big, role=ARBITER, idx=0,
+                                    suffix=("big",))
+        results["guest_got"] = trv.arbiter_to_guest.get(idx=0,
+                                                        suffix=("ack",))
+        fed.close()
+
+    def host():
+        fed = TcpFederation(broker.address, "job", parties[1], parties, auth)
+        trv = HomoTransferVariables(fed)
+        trv.host_to_arbiter.remote(obj={"hello": 1}, role=ARBITER, idx=0,
+                                   suffix=("small",))
+        fed.close()
+
+    def arbiter():
+        fed = TcpFederation(broker.address, "job", parties[2], parties, auth)
+        trv = HomoTransferVariables(fed)
+        big = trv.guest_to_arbiter.get(idx=0, suffix=("big",), timeout=60)
+        small = trv.host_to_arbiter.get(idx=-1, suffix=("small",), timeout=60)
+        results["big_sum"] = float(big.sum())
+        results["small"] = small
+        trv.arbiter_to_guest.remote(obj="ok", role=GUEST, idx=0,
+                                    suffix=("ack",))
+        fed.close()
+
+    threads = [threading.Thread(target=f, daemon=True)
+               for f in (guest, host, arbiter)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive()
+    broker.close()
+
+    assert results["guest_got"] == "ok"
+    assert results["small"] == [{"hello": 1}]
+    assert results["big_sum"] == float(np.arange(2_000_000).sum())
+
+
+def test_tcp_authorization_enforced():
+    broker = FedBroker()
+    parties = default_parties(n_hosts=1)
+    auth = HomoTransferVariables.authorization()
+    fed = TcpFederation(broker.address, "job2", parties[0], parties, auth)
+    trv = HomoTransferVariables(fed)
+    try:
+        # guest may not send on an arbiter->host channel
+        import pytest
+
+        with pytest.raises(PermissionError):
+            trv.arbiter_to_host.remote(obj=1, role=HOST, idx=0)
+    finally:
+        fed.close()
+        broker.close()
