@@ -120,6 +120,18 @@ class HomoNNParam:
     early_stop_enabled: bool = False  # the reference hard-disables early
     # stopping with `and False` (enter_point.py:192); opt back in here
 
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["secure_aggregate_args"] = self.secure_aggregate_args.to_dict()
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "HomoNNParam":
+        d = dict(d)
+        d["secure_aggregate_args"] = SecureAggregateArgs.from_dict(
+            d.get("secure_aggregate_args", {}))
+        return cls(**d)
+
     def check(self):
         if self.secure_aggregate not in _SCHEMES:
             raise ValueError(

@@ -1,0 +1,105 @@
+"""Job runner: submit a federated training job across OS processes.
+
+The library-sized replacement for fate_flow's JobController/TaskScheduler
+(fate_flow/driver/job_controller.py:42, task_scheduler.py:286-315): start
+the federation broker, write per-party task configs and data shards, spawn
+one task-executor subprocess per (role, party), watch liveness, collect
+outputs.  Kill-job semantics: any dead child aborts the rest
+(the reference's job_detector / kill-file watch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+import tempfile
+import time
+import uuid
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from flashe_tpu.fed.tcp import FedBroker
+from flashe_tpu.runtime.config import HomoNNParam
+
+__all__ = ["submit_job"]
+
+
+def submit_job(param: HomoNNParam,
+               shards: Sequence[Tuple[np.ndarray, np.ndarray]],
+               workdir: str | None = None,
+               timeout: float = 900.0,
+               env_overrides: Dict[str, str] | None = None) -> Dict[str, dict]:
+    """Run guest + hosts + arbiter as subprocesses; return per-role outputs.
+
+    shards[0] is the guest's data; shards[1:] go to hosts.
+    """
+    param.check()
+    job_id = uuid.uuid4().hex[:12]
+    n_hosts = len(shards) - 1
+    workdir = workdir or tempfile.mkdtemp(prefix=f"flashe_job_{job_id}_")
+    os.makedirs(workdir, exist_ok=True)
+
+    broker = FedBroker()
+    procs: List[subprocess.Popen] = []
+    outs = {}
+    try:
+        roles = [("guest", 0, shards[0])]
+        roles += [("host", h, shards[1 + h]) for h in range(n_hosts)]
+        roles += [("arbiter", 0, None)]
+        for i, (role, pid, shard) in enumerate(roles):
+            cfg = {
+                "job_id": job_id,
+                "role": role,
+                "party_id": pid,
+                "n_hosts": n_hosts,
+                "broker": list(broker.address),
+                "param": param.to_dict(),
+                "seed": i,
+                "out": os.path.join(workdir, f"{role}_{pid}.out"),
+            }
+            if shard is not None:
+                data_path = os.path.join(workdir, f"{role}_{pid}.npz")
+                np.savez(data_path, x=shard[0], y=shard[1])
+                cfg["data"] = data_path
+            cfg_path = os.path.join(workdir, f"{role}_{pid}.json")
+            with open(cfg_path, "w") as f:
+                json.dump(cfg, f)
+            env = dict(os.environ)
+            env.update(env_overrides or {})
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "flashe_tpu.runtime.task_executor",
+                 "-c", cfg_path],
+                env=env, cwd=os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+            ))
+            outs[f"{role}_{pid}"] = cfg["out"]
+
+        deadline = time.time() + timeout
+        pending = list(procs)
+        while pending:
+            if time.time() > deadline:
+                raise TimeoutError(f"job {job_id} timed out")
+            for p in list(pending):
+                rc = p.poll()
+                if rc is None:
+                    continue
+                pending.remove(p)
+                if rc != 0:
+                    raise RuntimeError(
+                        f"job {job_id}: task {p.args} failed rc={rc}")
+            time.sleep(0.2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        broker.close()
+
+    results = {}
+    for key, path in outs.items():
+        with open(path, "rb") as f:
+            results[key] = pickle.load(f)
+    return results
