@@ -1,0 +1,86 @@
+"""Loader for the native C++ helpers (wire bit-packing).
+
+Builds native/packing.cpp on first use (g++ is part of the toolchain) and
+binds it through ctypes; every entry point has a pure-numpy fallback in
+flashe_tpu/ops/pack.py, so the framework works without a compiler too.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_here, "native", "packing.cpp")
+_LIB = os.path.join(_here, "native", "libflashepack.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_LIB) or (
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_LIB)
+            lib.pack_lanes_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.unpack_lanes_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def pack_lanes(lanes: np.ndarray, int_bits: int) -> bytes | None:
+    lib = _load()
+    if lib is None:
+        return None
+    lanes = np.ascontiguousarray(lanes, dtype=np.uint32)
+    nlimbs = 1 if lanes.ndim == 1 else lanes.shape[-1]
+    n = lanes.shape[0]
+    out = np.zeros((n * int_bits + 7) // 8, np.uint8)
+    lib.pack_lanes_u32(
+        lanes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(n), ctypes.c_int32(nlimbs), ctypes.c_int32(int_bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.tobytes()
+
+
+def unpack_lanes(data: bytes, n: int, int_bits: int,
+                 nlimbs: int) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros(n * nlimbs, np.uint32)
+    lib.unpack_lanes_u32(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int32(nlimbs), ctypes.c_int32(int_bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out.reshape(n, nlimbs) if nlimbs > 1 else out

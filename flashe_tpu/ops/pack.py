@@ -47,6 +47,11 @@ def _lane_bits_msb_first(lanes: np.ndarray, int_bits: int) -> np.ndarray:
 
 def pack_lanes(lanes: np.ndarray, int_bits: int) -> bytes:
     """Lane array -> big-endian packed bytes (reference big-int layout)."""
+    from flashe_tpu import native
+
+    fast = native.pack_lanes(np.asarray(lanes), int_bits)
+    if fast is not None:
+        return fast
     bits = _lane_bits_msb_first(lanes, int_bits)
     total = bits.size
     pad = (-total) % 8
@@ -57,6 +62,12 @@ def pack_lanes(lanes: np.ndarray, int_bits: int) -> bytes:
 
 def unpack_lanes(data: bytes, n: int, int_bits: int) -> np.ndarray:
     """Packed bytes -> (n,) uint32 (or (n, L) limb) lane array."""
+    from flashe_tpu import native
+
+    nl0 = nlimbs_for(int_bits)
+    fast = native.unpack_lanes(data, n, int_bits, nl0)
+    if fast is not None:
+        return fast
     total = n * int_bits
     bits = np.unpackbits(np.frombuffer(data, np.uint8))
     bits = bits[len(bits) - total :].reshape(n, int_bits)
