@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--clients", type=int, default=10)
     ap.add_argument("--int-bits", type=int, default=20)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--impl", choices=["xla", "pallas"], default="xla",
+                    help="encrypt/decrypt kernel implementation")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -44,22 +46,31 @@ def main():
     rk = jnp.asarray(aes.key_schedule(bytes(range(32))).astype(np.int32))
     mask = np.uint32((1 << m) - 1)
 
-    @jax.jit
-    def encrypt(q, it, idx):
-        add = prp_lane_stream(rk, it, idx, n, m)
-        minus = prp_lane_stream(rk, it, idx + 1, n, m)
-        return (q + add - minus) & mask
+    if args.impl == "pallas":
+        from flashe_tpu.ops import pallas_flashe as pf
+
+        def encrypt(q, it, idx):
+            return pf.pallas_mask_apply(q, rk, it, idx, idx + 1, m)
+
+        def decrypt(agg, it):
+            return pf.pallas_mask_apply(agg, rk, it, c, 0, m)
+    else:
+        @jax.jit
+        def encrypt(q, it, idx):
+            add = prp_lane_stream(rk, it, idx, n, m)
+            minus = prp_lane_stream(rk, it, idx + 1, n, m)
+            return (q + add - minus) & mask
+
+        @jax.jit
+        def decrypt(agg, it):
+            add = prp_lane_stream(rk, it, c, n, m)
+            minus = prp_lane_stream(rk, it, 0, n, m)
+            return (agg + add - minus) & mask
 
     @jax.jit
     def aggregate(cts):
         # exact for clients * 2^int_bits <= 2^32 (here 10 * 2^20)
         return jnp.sum(cts, axis=0, dtype=jnp.uint32) & mask
-
-    @jax.jit
-    def decrypt(agg, it):
-        add = prp_lane_stream(rk, it, c, n, m)
-        minus = prp_lane_stream(rk, it, 0, n, m)
-        return (agg + add - minus) & mask
 
     rng = np.random.RandomState(0)
     q = jnp.asarray(

@@ -168,23 +168,28 @@ def _transpose32(words):
 
 
 def bitsliced_prp_lane_stream(round_keys, iter_index, stream_idx,
-                              count: int, int_bits: int, begin_block=0):
+                              count: int, int_bits: int, begin_block=0,
+                              assume_aligned: bool = False):
     """Drop-in equivalent of prp_lane_stream via bitsliced AES.
 
-    begin_block must be a multiple of 32 when nonzero (shard alignment);
-    lane semantics and bit-exactness contract identical to
-    flashe_tpu/ops/masks.py.
+    Lane semantics and bit-exactness contract identical to
+    flashe_tpu/ops/masks.py.  assume_aligned=True promises begin_block is
+    a multiple of 32 (static slicing, required inside Pallas kernels);
+    otherwise the counter base is aligned internally and the offset lanes
+    are sliced off (0..31 blocks of overgeneration).
     """
-    merge0 = merge_size(int_bits)
     nb = num_blocks(count, int_bits)
     iter_index = jnp.asarray(iter_index, jnp.int32)
     stream_idx = jnp.asarray(stream_idx, jnp.int32)
     raw_base = jnp.asarray(begin_block, jnp.int32)
-    # align the counter base to the 32-block group granularity; the lane
-    # offset is sliced off at the end (0..31 blocks of overgeneration)
-    base = raw_base & np.int32(~31)
-    skip_blocks = raw_base - base
-    nb_padded = nb + 31  # room for the worst-case misalignment
+    if assume_aligned:
+        base = raw_base
+        skip_blocks = None
+        nb_padded = nb
+    else:
+        base = raw_base & np.int32(~31)
+        skip_blocks = raw_base - base
+        nb_padded = nb + 31  # room for the worst-case misalignment
     ngroups = -(-nb_padded // 32)
     group_base = base + 32 * jnp.arange(ngroups, dtype=jnp.int32)
 
@@ -228,16 +233,21 @@ def bitsliced_prp_lane_stream(round_keys, iter_index, stream_idx,
         bits = [S[:, i, :] for i in range(8)]
         return jnp.stack(_sbox_planes(bits), axis=1)
 
-    shift_perm = aes_mod._SHIFT_ROWS  # static numpy indices
+    # ShiftRows as static restacking (no gather, no captured index
+    # constants — required for Pallas kernel bodies)
+    perm = [int(p) for p in aes_mod._SHIFT_ROWS]
+
+    def shift_rows(S):
+        return jnp.stack([S[p] for p in perm])
 
     S = S ^ rk_planes[0]
     for r in range(1, 14):
         S = sub_bytes(S)
-        S = S[shift_perm]
+        S = shift_rows(S)
         S = _mix_columns_stack(S)
         S = S ^ rk_planes[r]
     S = sub_bytes(S)
-    S = S[shift_perm]
+    S = shift_rows(S)
     S = S ^ rk_planes[14]
 
     # --- un-bitslice into per-block 32-bit words (w0 = least significant)
@@ -275,8 +285,11 @@ def bitsliced_prp_lane_stream(round_keys, iter_index, stream_idx,
             limbs.append(v & top_mask if l == nl - 1 else v)
         lanes.append(jnp.stack(limbs, axis=-1))
     all_lanes = jnp.stack(lanes, axis=1).reshape(ngroups * 32 * merge, nl)
-    out = jax.lax.dynamic_slice(
-        all_lanes, (skip_blocks * merge, 0 * skip_blocks), (count, nl))
+    if skip_blocks is None:
+        out = all_lanes[:count]
+    else:
+        out = jax.lax.dynamic_slice(
+            all_lanes, (skip_blocks * merge, 0 * skip_blocks), (count, nl))
     if nl == 1:
         return out[:, 0]
     return out
