@@ -11,6 +11,17 @@ tile, so arithmetic intensity per output byte doubles versus one stream —
 exactly the case where fusion pays.
 
 int_bits <= 32 single-limb lanes (the production FLASHE configs).
+
+STATUS: bit-exact and tested in interpreter mode (tests/test_pallas_flashe.py).
+The current Mosaic TPU lowering rejects the un-bitslicing interleave
+("infer-vector-layout: unsupported shape cast" on the (ngroups, 32) ->
+flat reshape of the transpose network), so the production TPU path remains
+the fused-by-XLA implementation in flashe_tpu/crypto/flashe.py — which
+already runs the same bitsliced program.  Revisit when Mosaic supports
+minor-dim interleaves, or restructure the round to keep ciphertexts in a
+kernel-native permuted lane order end-to-end (mod-add commutes with any
+fixed lane permutation, so aggregation/decryption could stay permuted and
+only the model unflatten would pay one relayout).
 """
 
 from __future__ import annotations
@@ -41,7 +52,7 @@ def _round_up(n, m):
 
 
 def _kernel(q_ref, it_ref, add_idx_ref, minus_idx_ref, rk_ref, out_ref,
-            *, int_bits: int, tile_lanes: int, sign: int):
+            *, int_bits: int, tile_lanes: int):
     pid = pl.program_id(0)
     begin_block = pid * (tile_lanes // merge_size(int_bits))
     it = it_ref[0]
@@ -54,8 +65,8 @@ def _kernel(q_ref, it_ref, add_idx_ref, minus_idx_ref, rk_ref, out_ref,
         begin_block=begin_block, assume_aligned=True)
     m = np.uint32((1 << int_bits) - 1) if int_bits < 32 else np.uint32(
         0xFFFFFFFF)
-    q = q_ref[0, :]
-    out_ref[0, :] = (q + add - minus) & m
+    q = q_ref[0].reshape(tile_lanes)
+    out_ref[0] = ((q + add - minus) & m).reshape(q_ref.shape[1:])
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,30 +74,32 @@ def _build(count: int, int_bits: int, interpret: bool):
     tile = tile_lanes_for(int_bits)
     padded = _round_up(count, tile)
     n_tiles = padded // tile
+    # (8, tile/8) trailing tile shape satisfies the TPU (8, 128) alignment
+    rows, cols = 8, tile // 8
+    assert cols % 128 == 0
 
-    kern = functools.partial(_kernel, int_bits=int_bits, tile_lanes=tile,
-                             sign=1)
+    kern = functools.partial(_kernel, int_bits=int_bits, tile_lanes=tile)
     call = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda i: (i, 0),
+            pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # iter scalar
             pl.BlockSpec(memory_space=pltpu.SMEM),  # add idx
             pl.BlockSpec(memory_space=pltpu.SMEM),  # minus idx
             pl.BlockSpec(memory_space=pltpu.VMEM),  # round keys
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tile), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows, cols), jnp.uint32),
         interpret=interpret,
     )
 
     def run(q, it, add_idx, minus_idx, rk):
         qp = jnp.zeros((padded,), jnp.uint32).at[:count].set(q)
         out = call(
-            qp.reshape(n_tiles, tile),
+            qp.reshape(n_tiles, rows, cols),
             jnp.asarray([it], jnp.int32),
             jnp.asarray([add_idx], jnp.int32),
             jnp.asarray([minus_idx], jnp.int32),

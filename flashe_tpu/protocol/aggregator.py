@@ -88,6 +88,7 @@ class Arbiter:
         self._converge_sync = None
         self._trv = None
         self.num_hosts = None
+        self.dropped_hosts = []
 
     def register_aggregator(self, transfer_variables, sparsity=1.0,
                             secure_aggregate="plain",
@@ -138,10 +139,23 @@ class Arbiter:
                                          idx=-1, suffix=suffix + ("upload_result", p))
             payloads = [merge_lane_parts(parts) for parts in parts_per_client]
         elif mode == "parallel":
+            # optional dropout tolerance: a host that misses the upload
+            # deadline is dropped from this round; FLASHE's double masking
+            # keeps the survivors' aggregate decryptable via the run-merged
+            # idx list (README claim #3; jzf_flashe.py:354-386)
+            timeout = self.secure_aggregate_args.get("upload_timeout_s")
             payloads.append(
                 t.guest_to_arbiter.get(idx=0, suffix=suffix + ("upload_model", 0)))
-            payloads.extend(
-                t.host_to_arbiter.get(idx=-1, suffix=suffix + ("upload_model", 0)))
+            self.dropped_hosts = []
+            for h in range(self.num_hosts):
+                try:
+                    payloads.append(t.host_to_arbiter.get(
+                        idx=h, suffix=suffix + ("upload_model", 0),
+                        timeout=timeout if timeout else 600.0))
+                except TimeoutError:
+                    if not timeout:
+                        raise
+                    self.dropped_hosts.append(h)
         else:  # serial: one party at a time
             t.arbiter_to_guest.remote(obj="allow_upload", role=consts.GUEST,
                                       idx=0, suffix=suffix + ("allow_upload",))
@@ -252,15 +266,23 @@ class Arbiter:
                     t.guest_to_arbiter.get(idx=0, suffix=suffix + ("dispatch_result", p))
                     t.host_to_arbiter.get(idx=-1, suffix=suffix + ("dispatch_result", p))
             else:
+                dropped = getattr(self, "dropped_hosts", [])
                 t.arbiter_to_guest.remote(model, role=consts.GUEST, idx=0,
                                           suffix=suffix + ("agg_model", 0))
-                t.arbiter_to_host.remote(model, role=consts.HOST, idx=-1,
-                                         suffix=suffix + ("agg_model", 0))
                 t.guest_to_arbiter.get(idx=0, suffix=suffix + ("dispatch_result", 0))
-                t.host_to_arbiter.get(idx=-1, suffix=suffix + ("dispatch_result", 0))
+                for h in range(self.num_hosts):
+                    if h in dropped:
+                        continue
+                    t.arbiter_to_host.remote(model, role=consts.HOST, idx=h,
+                                             suffix=suffix + ("agg_model", 0))
+                    t.host_to_arbiter.get(
+                        idx=h, suffix=suffix + ("dispatch_result", 0))
         return model
 
     def aggregate_loss(self, idx=None, suffix=tuple()):
+        if idx is None and getattr(self, "dropped_hosts", None):
+            idx = [h for h in range(self.num_hosts)
+                   if h not in self.dropped_hosts]
         losses = self._loss_sync.get_losses(idx=idx, suffix=suffix)
         total_loss, total_degree = 0.0, 0.0
         for loss in losses:
@@ -435,8 +457,10 @@ class Client:
                 with phase("decryption"):
                     lanes = self._block.decrypt(lanes, total_idx_list)
 
+        n_summed = len(total_idx_list) if total_idx_list else None
         with phase("decoding"):
-            flat = self._block.unquantize(lanes, payload.n_elements)
+            flat = self._block.unquantize(lanes, payload.n_elements,
+                                          n_summed)
 
         flat = flat / (degrees / self.degree)
         flat = self._block.unnormalize(flat)

@@ -96,7 +96,7 @@ class _Client(uuid_sync.Client, dh_sync.Client):
     def quantize(self, flat):
         return flat  # floats in the clear slots (jzf_ckks_block.py:84-94)
 
-    def unquantize(self, v, n_elements=None):
+    def unquantize(self, v, n_elements=None, n_clients=None):
         # the aggregate is a sum of num_clients vectors; the aggregator's
         # degree math handles averaging, so return the sum as-is
         return v

@@ -185,8 +185,8 @@ class _Client(uuid_sync.Client, dh_sync.Client):
             return self.quantizer.quantize(flat, alpha_override=alphas)
         return self.quantizer.quantize(flat)
 
-    def unquantize(self, q, n_elements=None):
-        return self.quantizer.unquantize(q, n_elements)
+    def unquantize(self, q, n_elements=None, n_clients=None):
+        return self.quantizer.unquantize(q, n_elements, n_clients)
 
     def normalize(self, flat):
         return self.quantizer.normalize(flat)

@@ -102,8 +102,8 @@ class _Client(uuid_sync.Client, dh_sync.Client):
     def quantize(self, flat):
         return self.quantizer.quantize(flat)
 
-    def unquantize(self, q_lanes, n_elements=None):
-        return self.quantizer.unquantize(q_lanes, n_elements)
+    def unquantize(self, q_lanes, n_elements=None, n_clients=None):
+        return self.quantizer.unquantize(q_lanes, n_elements, n_clients)
 
     def normalize(self, flat):
         return self.quantizer.normalize(flat)

@@ -85,8 +85,8 @@ class _Client:
     def quantize(self, flat):
         return self.quantizer.quantize(flat) if self.quantizer else flat
 
-    def unquantize(self, q, n_elements=None):
-        return (self.quantizer.unquantize(q, n_elements)
+    def unquantize(self, q, n_elements=None, n_clients=None):
+        return (self.quantizer.unquantize(q, n_elements, n_clients)
                 if self.quantizer else q)
 
     def normalize(self, flat):

@@ -120,15 +120,20 @@ class QuantizingClient(_QuantizingBase):
                                  self.factor)
         return q
 
-    def unquantize(self, q: jnp.ndarray, n_elements: int | None = None):
-        """Summed quantized values -> flat f32 (alpha * num_clients rule)."""
+    def unquantize(self, q: jnp.ndarray, n_elements: int | None = None,
+                   n_clients: int | None = None):
+        """Summed quantized values -> flat f32 (alpha * num_clients rule).
+
+        n_clients overrides the registered client count when the round
+        had dropouts: the offset correction must match the number of
+        summands actually present in the aggregate."""
         n = self.codec.total if n_elements is None else n_elements
         if self.batch:
             q = qops.unbatch_lanes(q, n, self.int_bits, self.element_bits,
                                    self.factor)
         alpha_vec = self.codec.spread(jnp.asarray(self.alpha))[:n]
         return _unquantize_flat(q, alpha_vec, self.element_bits,
-                                self.num_clients)
+                                n_clients or self.num_clients)
 
     def normalize(self, flat: jnp.ndarray) -> jnp.ndarray:
         """Subtract running layer means (jzf_quantize.py:542-547)."""
