@@ -131,7 +131,7 @@ class PaillierCipher:
         self.privacy_key: PaillierPrivateKey | None = None
         self.n = None
         self._ctx2: modmath.MontCtx | None = None
-        self._nbits_dev = None
+        self._ndigits_dev = None
 
     # -- key management (reference jzf_paillier.py:152-185) ----------------
 
@@ -144,8 +144,8 @@ class PaillierCipher:
         self.public_key = public_key
         self.n = public_key.n
         self._ctx2 = modmath.MontCtx(public_key.nsquare)
-        self._nbits_dev = jnp.asarray(
-            modmath.exponent_bits(self.n, self.n.bit_length()))
+        self._ndigits_dev = jnp.asarray(
+            modmath.exponent_digits(self.n, self.n.bit_length()))
 
     def set_privacy_key(self, privacy_key: PaillierPrivateKey):
         self.privacy_key = privacy_key
@@ -172,8 +172,8 @@ class PaillierCipher:
         ctx = self._ctx2
         rs = self._obfuscators(len(vals))
         r_limbs = jnp.asarray(modmath.to_limbs(rs, ctx.L))
-        s = modmath.mont_exp(ctx, modmath.mont_from(ctx, r_limbs),
-                             self._nbits_dev)
+        s = modmath.mont_exp_window(ctx, modmath.mont_from(ctx, r_limbs),
+                                    self._ndigits_dev)
         s = modmath.mont_to(ctx, s)
         s_ints = modmath.from_limbs(np.asarray(s))
         nsq = self.public_key.nsquare
@@ -191,11 +191,13 @@ class PaillierCipher:
         ctx_q = modmath.MontCtx(sk.qsquare)
         cp = jnp.asarray(modmath.to_limbs([c % sk.psquare for c in cts], ctx_p.L))
         cq = jnp.asarray(modmath.to_limbs([c % sk.qsquare for c in cts], ctx_q.L))
-        ep = jnp.asarray(modmath.exponent_bits(sk.p - 1, sk.p.bit_length()))
-        eq = jnp.asarray(modmath.exponent_bits(sk.q - 1, sk.q.bit_length()))
-        xp = modmath.mont_to(ctx_p, modmath.mont_exp(
+        ep = jnp.asarray(
+            modmath.exponent_digits(sk.p - 1, sk.p.bit_length()))
+        eq = jnp.asarray(
+            modmath.exponent_digits(sk.q - 1, sk.q.bit_length()))
+        xp = modmath.mont_to(ctx_p, modmath.mont_exp_window(
             ctx_p, modmath.mont_from(ctx_p, cp), ep))
-        xq = modmath.mont_to(ctx_q, modmath.mont_exp(
+        xq = modmath.mont_to(ctx_q, modmath.mont_exp_window(
             ctx_q, modmath.mont_from(ctx_q, cq), eq))
         xp_ints = modmath.from_limbs(np.asarray(xp))
         xq_ints = modmath.from_limbs(np.asarray(xq))

@@ -87,3 +87,18 @@ def test_device_encrypt_matches_host_oracle():
     cts = c.encrypt(msgs)
     want = [pub.encrypt_scalar(int(m), r) for m, r in zip(msgs, rs)]
     assert list(cts) == want
+
+
+def test_mont_exp_window_matches_pow():
+    rng = np.random.RandomState(5)
+    nbits = 512
+    n = (int.from_bytes(rng.bytes(nbits // 8), "big") | (1 << (nbits - 1))) | 1
+    ctx = modmath.MontCtx(n)
+    a = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n
+         for _ in range(4)]
+    e = int.from_bytes(rng.bytes(64), "big")  # 512-bit exponent
+    A = modmath.mont_from(ctx, jnp.asarray(modmath.to_limbs(a, ctx.L)))
+    digs = jnp.asarray(modmath.exponent_digits(e, e.bit_length()))
+    got = modmath.from_limbs(
+        np.asarray(modmath.mont_to(ctx, modmath.mont_exp_window(ctx, A, digs))))
+    assert got == [pow(x, e, n) for x in a]
