@@ -11,8 +11,10 @@ while bulk ciphertext movement on a TPU slice uses device collectives
 from flashe_tpu.fed.consts import ARBITER, GUEST, HOST
 from flashe_tpu.fed.transport import Federation, Party
 from flashe_tpu.fed.inmem import InMemBroker, InMemFederation
+from flashe_tpu.fed.tcp import FedBroker, TcpFederation
 
 __all__ = [
     "ARBITER", "GUEST", "HOST",
     "Federation", "Party", "InMemBroker", "InMemFederation",
+    "FedBroker", "TcpFederation",
 ]

@@ -69,6 +69,9 @@ def _make_block(role, secure_aggregate, args, transfer_variables):
     elif secure_aggregate == "ckks":
         from flashe_tpu.protocol.blocks import ckks as mod
         reg, create = "register_ckks_cipher", "create_cipher"
+    elif secure_aggregate == "additive":
+        from flashe_tpu.protocol.blocks import additive as mod
+        reg, create = "register_additive_mask_cipher", "create_cipher"
     else:
         raise ValueError(f"unknown secure_aggregate scheme {secure_aggregate}")
     cls = {"guest": mod.Guest, "host": mod.Host, "arbiter": mod.Arbiter}[role]
@@ -384,7 +387,7 @@ class Client:
                 q = self._block.quantize(flat)
             n_elements = self.codec.total
 
-        if scheme in ("flashe", "paillier", "bfv", "ckks"):
+        if scheme in ("flashe", "paillier", "bfv", "ckks", "additive"):
             with phase("encryption"):
                 enc = self._block.encrypt(q)
         else:

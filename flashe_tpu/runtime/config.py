@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional
 
 __all__ = ["QuantizeConfig", "SecureAggregateArgs", "HomoNNParam"]
 
-_SCHEMES = ("plain", "flashe", "paillier", "bfv", "ckks")
+_SCHEMES = ("plain", "flashe", "paillier", "bfv", "ckks", "additive")
 _MASKS = ("double", "single", "dynamic")
 _MODES = ("parallel", "serial")
 

@@ -95,3 +95,10 @@ def test_ckks_round():
         "mode": "parallel", "num_partitions": 1,
     }
     _round("ckks", args, atol=1e-4)
+
+
+def test_additive_round():
+    """Reconstructed additive random-mask scheme (the reference's missing
+    jzf_additive_mask_block): pads cancel in the arbiter's plain sum."""
+    args = {"mode": "parallel", "num_partitions": 1}
+    _round("additive", args, atol=1e-4)
