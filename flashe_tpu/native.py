@@ -1,8 +1,13 @@
-"""Loader for the native C++ helpers (wire bit-packing).
+"""Loader/builder for the native C++ components.
 
-Builds native/packing.cpp on first use (g++ is part of the toolchain) and
-binds it through ctypes; every entry point has a pure-numpy fallback in
-flashe_tpu/ops/pack.py, so the framework works without a compiler too.
+- native/packing.cpp — wire bit-packing, bound through ctypes; pure-numpy
+  fallback in flashe_tpu/ops/pack.py.
+- native/fedbroker.cpp — the federation exchange executable (the TPU-era
+  equivalent of the reference's Java proxy/federation services); spawned
+  by flashe_tpu/fed/tcp.py, which keeps a pure-Python fallback broker.
+
+Everything builds on first use (g++ is part of the toolchain), so the
+framework also works without a compiler.
 """
 
 from __future__ import annotations
@@ -55,6 +60,33 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+_BROKER_SRC = os.path.join(_here, "native", "fedbroker.cpp")
+_BROKER_BIN = os.path.join(_here, "native", "fedbroker")
+_broker_lock = threading.Lock()
+_broker_state = {"tried": False, "path": None}
+
+
+def broker_binary() -> str | None:
+    """Builds (if stale) and returns the fedbroker executable path, or
+    None when no compiler is available."""
+    with _broker_lock:
+        if _broker_state["tried"]:
+            return _broker_state["path"]
+        _broker_state["tried"] = True
+        try:
+            if not os.path.exists(_BROKER_BIN) or (
+                os.path.getmtime(_BROKER_BIN) < os.path.getmtime(_BROKER_SRC)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-pthread", "-o", _BROKER_BIN,
+                     _BROKER_SRC],
+                    check=True, capture_output=True)
+            _broker_state["path"] = _BROKER_BIN
+        except Exception:
+            _broker_state["path"] = None
+        return _broker_state["path"]
 
 
 def pack_lanes(lanes: np.ndarray, int_bits: int) -> bytes | None:

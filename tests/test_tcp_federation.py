@@ -1,19 +1,26 @@
 """TCP broker federation: multi-threaded parties over real sockets,
 including >4MB payload fragmentation (the reference's splitable transfer,
-arch/api/utils/splitable.py:48)."""
+arch/api/utils/splitable.py:48).  Runs against both the native C++
+exchange (native/fedbroker.cpp) and the pure-Python fallback broker."""
 
 import threading
 
 import numpy as np
+import pytest
 
+from flashe_tpu import native
 from flashe_tpu.fed.consts import ARBITER, GUEST, HOST
 from flashe_tpu.fed.tcp import FedBroker, TcpFederation
 from flashe_tpu.fed.transport import Party, default_parties
 from flashe_tpu.fed.variables import HomoTransferVariables
 
 
-def test_tcp_roundtrip_and_fragmentation():
-    broker = FedBroker()
+@pytest.mark.parametrize("use_native", [False, True])
+def test_tcp_roundtrip_and_fragmentation(use_native):
+    if use_native and native.broker_binary() is None:
+        pytest.skip("no compiler for the native broker")
+    broker = FedBroker(native=use_native)
+    assert (broker._proc is not None) == use_native
     parties = default_parties(n_hosts=1)
     auth = HomoTransferVariables.authorization()
 
@@ -59,6 +66,34 @@ def test_tcp_roundtrip_and_fragmentation():
     assert results["guest_got"] == "ok"
     assert results["small"] == [{"hello": 1}]
     assert results["big_sum"] == float(np.arange(2_000_000).sum())
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_tcp_buffered_before_registration(use_native):
+    """Frames to a not-yet-connected party are held at the exchange and
+    flushed on registration (the reference's pull-based recv analogue)."""
+    if use_native and native.broker_binary() is None:
+        pytest.skip("no compiler for the native broker")
+    broker = FedBroker(native=use_native)
+    parties = default_parties(n_hosts=1)
+    auth = HomoTransferVariables.authorization()
+    guest = TcpFederation(broker.address, "jobB", parties[0], parties, auth)
+    trv_g = HomoTransferVariables(guest)
+    payload = np.arange(1_500_000, dtype=np.float64)  # 12MB -> 3 fragments
+    trv_g.guest_to_arbiter.remote(obj=payload, role=ARBITER, idx=0,
+                                  suffix=("early",))
+    trv_g.guest_to_arbiter.remote(obj="tail", role=ARBITER, idx=0,
+                                  suffix=("late",))
+    # arbiter connects only after both sends completed
+    arb = TcpFederation(broker.address, "jobB", parties[2], parties, auth)
+    trv_a = HomoTransferVariables(arb)
+    got = trv_a.guest_to_arbiter.get(idx=0, suffix=("early",), timeout=30)
+    assert np.array_equal(got, payload)
+    assert trv_a.guest_to_arbiter.get(idx=0, suffix=("late",),
+                                      timeout=30) == "tail"
+    guest.close()
+    arb.close()
+    broker.close()
 
 
 def test_tcp_authorization_enforced():
