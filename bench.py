@@ -30,14 +30,25 @@ def main():
     ap.add_argument("--clients", type=int, default=10)
     ap.add_argument("--int-bits", type=int, default=20)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--impl", choices=["xla", "pallas"], default="xla",
-                    help="encrypt/decrypt kernel implementation")
+    ap.add_argument("--impl", choices=["auto", "xla", "pallas"],
+                    default="auto",
+                    help="encrypt/decrypt kernel implementation (auto = "
+                         "fused pallas on TPU, xla elsewhere)")
     ap.add_argument("--mode", default="flashe",
                     choices=["flashe", "roundtrip1m", "precompute",
                              "paillier", "model100m"],
                     help="benchmark config (BASELINE.json configs)")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the container registers a "
+                         "TPU plugin at interpreter start, so env vars "
+                         "alone don't override the platform)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.mode != "flashe":
         run_extra_mode(args)
@@ -54,43 +65,54 @@ def main():
     rk = jnp.asarray(aes.key_schedule(bytes(range(32))).astype(np.int32))
     mask = np.uint32((1 << m) - 1)
 
+    if args.impl == "auto":
+        args.impl = ("pallas" if jax.devices()[0].platform == "tpu"
+                     else "xla")
+
+    # Per-client index constants fold into the trace; the iteration index
+    # stays a traced device scalar created OUTSIDE the timed region (a
+    # host->device scalar transfer per call would dominate the fused
+    # kernels, especially through a remote-TPU tunnel).
     if args.impl == "pallas":
         from flashe_tpu.ops import pallas_flashe as pf
 
-        def encrypt(q, it, idx):
-            return pf.pallas_mask_apply(q, rk, it, idx, idx + 1, m)
+        def enc_one(qi, it, idx):
+            return pf.pallas_mask_apply(qi, rk, it, idx, idx + 1, m)
 
-        def decrypt(agg, it):
+        def dec_one(agg, it):
             return pf.pallas_mask_apply(agg, rk, it, c, 0, m)
     else:
-        @jax.jit
-        def encrypt(q, it, idx):
+        def enc_one(qi, it, idx):
             add = prp_lane_stream(rk, it, idx, n, m)
             minus = prp_lane_stream(rk, it, idx + 1, n, m)
-            return (q + add - minus) & mask
+            return (qi + add - minus) & mask
 
-        @jax.jit
-        def decrypt(agg, it):
+        def dec_one(agg, it):
             add = prp_lane_stream(rk, it, c, n, m)
             minus = prp_lane_stream(rk, it, 0, n, m)
             return (agg + add - minus) & mask
+
+    @jax.jit
+    def encrypt_all(q, it):
+        return jnp.stack([enc_one(q[i], it, i) for i in range(c)])
 
     @jax.jit
     def aggregate(cts):
         # exact for clients * 2^int_bits <= 2^32 (here 10 * 2^20)
         return jnp.sum(cts, axis=0, dtype=jnp.uint32) & mask
 
+    decrypt = jax.jit(dec_one)
+
     rng = np.random.RandomState(0)
     q = jnp.asarray(
         rng.randint(0, 1 << 16, (c, n), dtype=np.int64).astype(np.uint32))
+    iters = [jnp.asarray(r, jnp.int32) for r in range(args.reps + 1)]
 
     def round_fn(it):
-        cts = jnp.stack([encrypt(q[i], it, jnp.int32(i)) for i in range(c)])
-        agg = aggregate(cts)
-        return decrypt(agg, it)
+        return decrypt(aggregate(encrypt_all(q, it)), it)
 
     # warmup / compile
-    out = round_fn(jnp.int32(0))
+    out = round_fn(iters[0])
     out.block_until_ready()
 
     # correctness guard: decrypted aggregate == mod-2^m sum
@@ -98,28 +120,30 @@ def main():
     got = np.asarray(out, np.int64)
     assert np.array_equal(got[:4096], want[:4096]), "round mismatch"
 
-    # timed phases (fresh iter index each rep to avoid caching artifacts)
-    t_enc = t_agg = t_dec = 0.0
+    # timed phases: all reps (fresh iter index each, to dodge caching
+    # artifacts) are launched back-to-back and blocked ONCE, so per-call
+    # host<->device round-trips (large through remote-TPU tunnels) are
+    # amortized and async dispatch can't launder short phases.
+    cts_list = []
+    t0 = time.perf_counter()
     for r in range(1, args.reps + 1):
-        it = jnp.int32(r)
-        t0 = time.perf_counter()
-        cts = [encrypt(q[i], it, jnp.int32(i)) for i in range(c)]
-        cts[0].block_until_ready()
-        jax.block_until_ready(cts)
-        t1 = time.perf_counter()
-        agg = aggregate(jnp.stack(cts))
-        agg.block_until_ready()
-        t2 = time.perf_counter()
-        dec = decrypt(agg, it)
-        dec.block_until_ready()
-        t3 = time.perf_counter()
-        t_enc += t1 - t0
-        t_agg += t2 - t1
-        t_dec += t3 - t2
+        cts_list.append(encrypt_all(q, iters[r]))
+    jax.block_until_ready(cts_list)
+    t_enc = (time.perf_counter() - t0) / args.reps
 
-    t_enc /= args.reps
-    t_agg /= args.reps
-    t_dec /= args.reps
+    aggs = []
+    t0 = time.perf_counter()
+    for cts in cts_list:
+        aggs.append(aggregate(cts))
+    jax.block_until_ready(aggs)
+    t_agg = (time.perf_counter() - t0) / args.reps
+
+    decs = []
+    t0 = time.perf_counter()
+    for r in range(1, args.reps + 1):
+        decs.append(decrypt(aggs[r - 1], iters[r]))
+    jax.block_until_ready(decs)
+    t_dec = (time.perf_counter() - t0) / args.reps
     # critical path comparable to the reference table: one client's encrypt
     # + the 10-ct aggregate + decrypt
     round_s = t_enc / c + t_agg + t_dec

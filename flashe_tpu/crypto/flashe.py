@@ -67,6 +67,28 @@ def _stream(rk, iter_index, stream_idx, count, int_bits, use_circuit=True):
         jnp.asarray(stream_idx, jnp.int32))
 
 
+@functools.lru_cache(maxsize=None)
+def _dev_i32(v: int):
+    """Device-resident int32 scalar, cached: iteration/stream indices are
+    jit arguments, and re-uploading a scalar every call costs a full
+    host->device round-trip (tens of ms on a remote-TPU tunnel)."""
+    return jnp.asarray(v, jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_kernel_ok() -> bool:
+    """Whether the fused Pallas mask kernel is usable: TPU backend only
+    (Mosaic lowering; interpreter mode is far slower than the XLA path on
+    CPU).  ~125x faster than the XLA stream path on TPU v5e — see
+    flashe_tpu/ops/pallas_flashe.py and docs/BENCHMARKS.md."""
+    if os.environ.get("FLASHE_NO_PALLAS") == "1":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("int_bits",))
 def _mask_apply(value, add, minus, int_bits):
     return lane_sub(lane_add(value, add, int_bits), minus, int_bits)
@@ -192,25 +214,34 @@ class FlasheCipher:
     def _s(self, stream_idx: int, count: int):
         return _stream(
             self._round_keys,
-            jnp.int32(self.iter_index),
-            jnp.int32(stream_idx),
+            _dev_i32(self.iter_index),
+            _dev_i32(stream_idx),
             count,
             self.int_bits,
             self.use_circuit,
         )
 
+    def _pallas_ok(self) -> bool:
+        return (_fused_kernel_ok()
+                and nlimbs_for(self.int_bits) == 1
+                and self.masking_scheme == "double")
+
     def prepare_encrypt(self):
         """Precompute next round's encrypt masks (jzf_flashe.py:599-631).
 
         Async: jit dispatch returns immediately; the arrays materialize on
-        device while the host does protocol work.
+        device while the host does protocol work.  With the fused TPU
+        kernel, mask generation is cheaper than reading precomputed masks
+        back from HBM, so precomputation becomes a no-op there.
         """
+        if self._pallas_ok():
+            return
         it = self.iter_index + 1
         rk, n = self._round_keys, self.num_params
-        add = _stream(rk, jnp.int32(it), jnp.int32(self.idx), n,
+        add = _stream(rk, _dev_i32(it), _dev_i32(self.idx), n,
                       self.int_bits, self.use_circuit)
         if self.masking_scheme == "double":
-            minus = _stream(rk, jnp.int32(it), jnp.int32(self.idx + 1), n,
+            minus = _stream(rk, _dev_i32(it), _dev_i32(self.idx + 1), n,
                             self.int_bits, self.use_circuit)
         else:
             minus = None
@@ -219,6 +250,8 @@ class FlasheCipher:
     def prepare_decrypt(self):
         """Precompute this round's aggregate-decrypt boundary masks
         (jzf_flashe.py:633-666): add at idx=num_clients, minus at idx=0."""
+        if self._pallas_ok():
+            return
         it = self.iter_index
         add = self._s(self.num_clients, self.num_params)
         minus = self._s(0, self.num_params)
@@ -237,6 +270,12 @@ class FlasheCipher:
         n = value.shape[0]
         key = ("enc", self.iter_index)
         prepared = self._prepared.pop(key, None)
+        if prepared is None and self._pallas_ok():
+            from flashe_tpu.ops.pallas_flashe import pallas_encrypt
+
+            return pallas_encrypt(value, self._round_keys,
+                                  _dev_i32(self.iter_index),
+                                  _dev_i32(self.idx), self.int_bits)
         if prepared is not None and prepared[0].shape[0] >= n:
             add = prepared[0][:n]
             minus = None if prepared[1] is None else prepared[1][:n]
@@ -286,6 +325,17 @@ class FlasheCipher:
             if 0 in minuses:
                 minuses.remove(0)
                 out = lane_sub(out, pre_minus[:n], self.int_bits)
+        if self._pallas_ok():
+            from flashe_tpu.ops.pallas_flashe import pallas_mask_apply
+
+            # merge_idx_runs yields paired boundaries; fuse each pair
+            npairs = min(len(adds), len(minuses))
+            for a, b in zip(adds[:npairs], minuses[:npairs]):
+                out = pallas_mask_apply(out, self._round_keys,
+                                        _dev_i32(self.iter_index),
+                                        _dev_i32(a), _dev_i32(b),
+                                        self.int_bits)
+            adds, minuses = adds[npairs:], minuses[npairs:]
         for idx in adds:
             out = lane_add(out, self._s(idx, n), self.int_bits)
         for idx in minuses:

@@ -32,7 +32,8 @@ from flashe_tpu.ops import aes as aes_mod
 from flashe_tpu.ops.lanes import nlimbs_for
 from flashe_tpu.ops.masks import merge_size, num_blocks
 
-__all__ = ["bitsliced_prp_lane_stream"]
+__all__ = ["bitsliced_prp_lane_stream", "bitsliced_counter_words",
+           "lanes_permuted"]
 
 _FULL = np.uint32(0xFFFFFFFF)
 
@@ -167,30 +168,22 @@ def _transpose32(words):
     return list(reversed(x))
 
 
-def bitsliced_prp_lane_stream(round_keys, iter_index, stream_idx,
-                              count: int, int_bits: int, begin_block=0,
-                              assume_aligned: bool = False):
-    """Drop-in equivalent of prp_lane_stream via bitsliced AES.
+def bitsliced_counter_words(round_keys, iter_index, stream_idx,
+                            ngroups: int, begin_block=0):
+    """AES-256 counter blocks as bit-transposed 32-bit words.
 
-    Lane semantics and bit-exactness contract identical to
-    flashe_tpu/ops/masks.py.  assume_aligned=True promises begin_block is
-    a multiple of 32 (static slicing, required inside Pallas kernels);
-    otherwise the counter base is aligned internally and the offset lanes
-    are sliced off (0..31 blocks of overgeneration).
+    Generates blocks [begin_block, begin_block + 32*ngroups) (begin_block
+    must be 32-aligned) and returns a list of four (32, ngroups) uint32
+    arrays: words[w][j, g] is 32-bit word w (w0 = least significant) of
+    block begin_block + 32*g + j.  This is the whole bitsliced pipeline
+    minus the final block-order interleave — the layout every consumer
+    that tolerates a fixed permutation (the fused Pallas kernel) uses
+    directly, because (32, G) stacking lowers on Mosaic while the
+    (G, 32) -> flat minor-dim interleave does not.
     """
-    nb = num_blocks(count, int_bits)
     iter_index = jnp.asarray(iter_index, jnp.int32)
     stream_idx = jnp.asarray(stream_idx, jnp.int32)
-    raw_base = jnp.asarray(begin_block, jnp.int32)
-    if assume_aligned:
-        base = raw_base
-        skip_blocks = None
-        nb_padded = nb
-    else:
-        base = raw_base & np.int32(~31)
-        skip_blocks = raw_base - base
-        nb_padded = nb + 31  # room for the worst-case misalignment
-    ngroups = -(-nb_padded // 32)
+    base = jnp.asarray(begin_block, jnp.int32)
     group_base = base + 32 * jnp.arange(ngroups, dtype=jnp.int32)
 
     # --- build bitsliced counter blocks as one (16, 8, G) plane tensor;
@@ -251,7 +244,7 @@ def bitsliced_prp_lane_stream(round_keys, iter_index, stream_idx,
     S = S ^ rk_planes[14]
 
     # --- un-bitslice into per-block 32-bit words (w0 = least significant)
-    words_per_block = []
+    words = []
     for w in range(4):
         plane_list = []
         for t in range(32):
@@ -260,8 +253,60 @@ def bitsliced_prp_lane_stream(round_keys, iter_index, stream_idx,
             i = bitpos & 7
             plane_list.append(S[k, i])
         tr = _transpose32(plane_list)  # tr[j] holds word w of blocks j mod 32
-        words_per_block.append(
-            jnp.stack(tr, axis=1).reshape(ngroups * 32))  # (nb_padded,)
+        words.append(jnp.stack(tr, axis=0))  # (32, ngroups)
+    return words
+
+
+def lanes_permuted(words, int_bits: int):
+    """Lane extraction in the kernel-native permuted layout.
+
+    words: the four (32, G) arrays from bitsliced_counter_words.  Returns
+    (merge, 32, G) uint32 lanes where out[j0, j, g] = lane j0 of block
+    32*g + j — i.e. the linear lane order transposed by
+    (g, j, j0) -> (j0, j, g).  Only single-limb lanes (int_bits <= 32).
+    """
+    assert int_bits <= 32, "permuted extraction is single-limb only"
+    ws = list(words) + [jnp.zeros_like(words[0])]
+    merge = merge_size(int_bits)
+    m = np.uint32((1 << int_bits) - 1) if int_bits < 32 else _FULL
+    lanes = []
+    for j in range(merge):
+        bitpos = j * int_bits
+        wi, off = bitpos >> 5, bitpos & 31
+        v = ws[wi] if off == 0 else (
+            (ws[wi] >> off) | (ws[wi + 1] << (32 - off)))
+        lanes.append(v & m)
+    return jnp.stack(lanes, axis=0)  # (merge, 32, G)
+
+
+def bitsliced_prp_lane_stream(round_keys, iter_index, stream_idx,
+                              count: int, int_bits: int, begin_block=0,
+                              assume_aligned: bool = False):
+    """Drop-in equivalent of prp_lane_stream via bitsliced AES.
+
+    Lane semantics and bit-exactness contract identical to
+    flashe_tpu/ops/masks.py.  assume_aligned=True promises begin_block is
+    a multiple of 32 (static slicing, required inside Pallas kernels);
+    otherwise the counter base is aligned internally and the offset lanes
+    are sliced off (0..31 blocks of overgeneration).
+    """
+    nb = num_blocks(count, int_bits)
+    raw_base = jnp.asarray(begin_block, jnp.int32)
+    if assume_aligned:
+        base = raw_base
+        skip_blocks = None
+        nb_padded = nb
+    else:
+        base = raw_base & np.int32(~31)
+        skip_blocks = raw_base - base
+        nb_padded = nb + 31  # room for the worst-case misalignment
+    ngroups = -(-nb_padded // 32)
+
+    words = bitsliced_counter_words(round_keys, iter_index, stream_idx,
+                                    ngroups, base)
+    # linear block order: (32, G) -> (G, 32) -> flat
+    words_per_block = [w.transpose(1, 0).reshape(ngroups * 32)
+                       for w in words]
     words_per_block.append(jnp.zeros_like(words_per_block[0]))
 
     # --- lane extraction (same as masks.lanes_from_blocks) ---

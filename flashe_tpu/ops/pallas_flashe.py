@@ -1,27 +1,26 @@
 """Pallas fused FLASHE kernels: mask generation + application in VMEM.
 
-The XLA path (flashe_tpu/crypto/flashe.py) materializes full mask streams
-in HBM before applying them.  This kernel fuses the whole encrypt (or
-aggregate-decrypt) per lane tile: the grid walks 32-block-aligned tiles of
-the lane vector, each program generates its tile's bitsliced AES counter
-masks (begin_block = tile offset — the same counter-offset trick as the
-mesh shards) directly in VMEM and applies them to the quantized lanes
-without ever writing masks to HBM.  Double masking needs two streams per
-tile, so arithmetic intensity per output byte doubles versus one stream —
-exactly the case where fusion pays.
+The XLA path (flashe_tpu/crypto/flashe.py) runs the bitsliced AES program
+as many separate VPU kernels with HBM round-trips between them.  This
+kernel fuses the whole encrypt (or aggregate-decrypt) per lane tile: the
+grid walks 32-block-aligned tiles of the lane vector, each program
+generates its tile's bitsliced AES counter masks (begin_block = tile
+offset — the same counter-offset trick as the mesh shards) directly in
+VMEM and applies them to the quantized lanes without ever writing masks
+to HBM.  Double masking needs two streams per tile, so arithmetic
+intensity per output byte doubles versus one stream — exactly the case
+where fusion pays.
+
+Mosaic rejects the minor-dim interleave that converts bit-transposed
+words back to linear block order ("infer-vector-layout: unsupported
+shape cast" on the (G, 32) -> flat reshape), so the kernel works in the
+*permuted* lane layout (merge, 32, G) end to end — mod-add commutes with
+any fixed lane permutation — and the host-side wrapper relayouts q in
+and ciphertext out with two cheap XLA transposes (~one HBM pass each,
+negligible against the AES arithmetic).  Public lane order and
+bit-exactness are unchanged.
 
 int_bits <= 32 single-limb lanes (the production FLASHE configs).
-
-STATUS: bit-exact and tested in interpreter mode (tests/test_pallas_flashe.py).
-The current Mosaic TPU lowering rejects the un-bitslicing interleave
-("infer-vector-layout: unsupported shape cast" on the (ngroups, 32) ->
-flat reshape of the transpose network), so the production TPU path remains
-the fused-by-XLA implementation in flashe_tpu/crypto/flashe.py — which
-already runs the same bitsliced program.  Revisit when Mosaic supports
-minor-dim interleaves, or restructure the round to keep ciphertexts in a
-kernel-native permuted lane order end-to-end (mod-add commutes with any
-fixed lane permutation, so aggregation/decryption could stay permuted and
-only the model unflatten would pay one relayout).
 """
 
 from __future__ import annotations
@@ -34,7 +33,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flashe_tpu.ops.aes_bitsliced import bitsliced_prp_lane_stream
+from flashe_tpu.ops.aes_bitsliced import (
+    bitsliced_counter_words, lanes_permuted,
+)
 from flashe_tpu.ops.masks import merge_size
 
 __all__ = ["pallas_mask_apply", "pallas_encrypt", "pallas_decrypt",
@@ -52,60 +53,63 @@ def _round_up(n, m):
 
 
 def _kernel(q_ref, it_ref, add_idx_ref, minus_idx_ref, rk_ref, out_ref,
-            *, int_bits: int, tile_lanes: int):
+            *, int_bits: int):
     pid = pl.program_id(0)
-    begin_block = pid * (tile_lanes // merge_size(int_bits))
+    begin_block = pid * (_GROUPS_PER_TILE * 32)
     it = it_ref[0]
     rk = rk_ref[:]
-    add = bitsliced_prp_lane_stream(
-        rk, it, add_idx_ref[0], tile_lanes, int_bits,
-        begin_block=begin_block, assume_aligned=True)
-    minus = bitsliced_prp_lane_stream(
-        rk, it, minus_idx_ref[0], tile_lanes, int_bits,
-        begin_block=begin_block, assume_aligned=True)
+    add = lanes_permuted(
+        bitsliced_counter_words(rk, it, add_idx_ref[0], _GROUPS_PER_TILE,
+                                begin_block), int_bits)
+    minus = lanes_permuted(
+        bitsliced_counter_words(rk, it, minus_idx_ref[0], _GROUPS_PER_TILE,
+                                begin_block), int_bits)
     m = np.uint32((1 << int_bits) - 1) if int_bits < 32 else np.uint32(
         0xFFFFFFFF)
-    q = q_ref[0].reshape(tile_lanes)
-    out_ref[0] = ((q + add - minus) & m).reshape(q_ref.shape[1:])
+    out_ref[0] = (q_ref[0] + add - minus) & m
 
 
 @functools.lru_cache(maxsize=None)
 def _build(count: int, int_bits: int, interpret: bool):
+    merge = merge_size(int_bits)
     tile = tile_lanes_for(int_bits)
     padded = _round_up(count, tile)
     n_tiles = padded // tile
-    # (8, tile/8) trailing tile shape satisfies the TPU (8, 128) alignment
-    rows, cols = 8, tile // 8
-    assert cols % 128 == 0
 
-    kern = functools.partial(_kernel, int_bits=int_bits, tile_lanes=tile)
+    kern = functools.partial(_kernel, int_bits=int_bits)
     call = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, merge, 32, _GROUPS_PER_TILE),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # iter scalar
             pl.BlockSpec(memory_space=pltpu.SMEM),  # add idx
             pl.BlockSpec(memory_space=pltpu.SMEM),  # minus idx
             pl.BlockSpec(memory_space=pltpu.VMEM),  # round keys
         ],
-        out_specs=pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, merge, 32, _GROUPS_PER_TILE),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, rows, cols), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, merge, 32, _GROUPS_PER_TILE), jnp.uint32),
         interpret=interpret,
     )
 
     def run(q, it, add_idx, minus_idx, rk):
         qp = jnp.zeros((padded,), jnp.uint32).at[:count].set(q)
-        out = call(
-            qp.reshape(n_tiles, rows, cols),
+        # linear lane order (g, j, j0) -> kernel-native (j0, j, g) per tile
+        q4 = qp.reshape(n_tiles, _GROUPS_PER_TILE, 32, merge).transpose(
+            0, 3, 2, 1)
+        out4 = call(
+            q4,
             jnp.asarray([it], jnp.int32),
             jnp.asarray([add_idx], jnp.int32),
             jnp.asarray([minus_idx], jnp.int32),
             jnp.asarray(rk, jnp.int32),
         )
-        return out.reshape(padded)[:count]
+        out = out4.transpose(0, 3, 2, 1).reshape(padded)
+        return out[:count]
 
     return jax.jit(run)
 
