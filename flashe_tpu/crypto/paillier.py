@@ -104,6 +104,100 @@ class PaillierPrivateKey:
         return (mq + u * self.q) % self.public_key.n
 
 
+class PaillierEncryptedNumber:
+    """Float-valued Paillier ciphertext (python-paillier semantics, the
+    surface the reference's stock secureprotol exposes for hetero-FL:
+    fixed-point encoding + homomorphic float add / scalar mul).  The
+    FLASHE pipeline itself moves quantized int vectors through the limb
+    kernels instead; this type backs EncryptModeCalculator parity."""
+
+    def __init__(self, public_key: PaillierPublicKey, ciphertext: int,
+                 exponent: int):
+        self.public_key = public_key
+        self.ciphertext = ciphertext
+        self.exponent = exponent
+
+    @classmethod
+    def encrypt(cls, public_key: PaillierPublicKey, value,
+                r: int | None = None) -> "PaillierEncryptedNumber":
+        from flashe_tpu.crypto.fixedpoint import FixedPointNumber
+
+        fp = FixedPointNumber.encode(value, public_key.n,
+                                     public_key.max_int)
+        return cls(public_key, public_key.encrypt_scalar(fp.encoding, r),
+                   fp.exponent)
+
+    def decrypt(self, privacy_key: PaillierPrivateKey) -> float:
+        from flashe_tpu.crypto.fixedpoint import FixedPointNumber
+
+        enc = privacy_key.decrypt_scalar(self.ciphertext)
+        return FixedPointNumber(enc, self.exponent, self.public_key.n,
+                                self.public_key.max_int).decode()
+
+    def _decrease_exponent_to(self, new_exponent: int
+                              ) -> "PaillierEncryptedNumber":
+        from flashe_tpu.crypto.fixedpoint import FixedPointNumber
+
+        if new_exponent > self.exponent:
+            raise ValueError("cannot decrease exponent upward")
+        factor = pow(FixedPointNumber.BASE, self.exponent - new_exponent)
+        ct = pow(self.ciphertext, factor, self.public_key.nsquare)
+        return PaillierEncryptedNumber(self.public_key, ct, new_exponent)
+
+    def __add__(self, other):
+        if not isinstance(other, PaillierEncryptedNumber):
+            other = PaillierEncryptedNumber.encrypt(self.public_key,
+                                                    float(other))
+        a, b = self, other
+        if a.exponent > b.exponent:
+            a = a._decrease_exponent_to(b.exponent)
+        elif b.exponent > a.exponent:
+            b = b._decrease_exponent_to(a.exponent)
+        ct = (a.ciphertext * b.ciphertext) % self.public_key.nsquare
+        return PaillierEncryptedNumber(self.public_key, ct, a.exponent)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self + (other * -1 if isinstance(
+            other, PaillierEncryptedNumber) else -float(other))
+
+    def __mul__(self, scalar):
+        from flashe_tpu.crypto.fixedpoint import FixedPointNumber
+
+        fp = FixedPointNumber.encode(float(scalar), self.public_key.n,
+                                     self.public_key.max_int)
+        enc = fp.encoding
+        if enc >= self.public_key.n - self.public_key.max_int:
+            # negative scalar: multiply by |scalar| via the inverse ct
+            neg_ct = pow(self.ciphertext, -1, self.public_key.nsquare)
+            ct = pow(neg_ct, self.public_key.n - enc,
+                     self.public_key.nsquare)
+        else:
+            ct = pow(self.ciphertext, enc, self.public_key.nsquare)
+        return PaillierEncryptedNumber(self.public_key, ct,
+                                       self.exponent + fp.exponent)
+
+    __rmul__ = __mul__
+
+
+class FloatPaillier:
+    """python-paillier-style facade used by EncryptModeCalculator."""
+
+    def __init__(self, public_key: PaillierPublicKey,
+                 privacy_key: PaillierPrivateKey | None = None):
+        self.public_key = public_key
+        self.privacy_key = privacy_key
+
+    def encrypt(self, value) -> PaillierEncryptedNumber:
+        return PaillierEncryptedNumber.encrypt(self.public_key, value)
+
+    def decrypt(self, number: PaillierEncryptedNumber) -> float:
+        if self.privacy_key is None:
+            raise ValueError("no private key on this party")
+        return number.decrypt(self.privacy_key)
+
+
 class PaillierKeypair:
     @staticmethod
     def generate_keypair(n_length: int = 2048):
