@@ -52,10 +52,10 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
-def _kernel(q_ref, it_ref, add_idx_ref, minus_idx_ref, rk_ref, out_ref,
-            *, int_bits: int):
+def _kernel(q_ref, it_ref, add_idx_ref, minus_idx_ref, base_ref, rk_ref,
+            out_ref, *, int_bits: int):
     pid = pl.program_id(0)
-    begin_block = pid * (_GROUPS_PER_TILE * 32)
+    begin_block = base_ref[0] + pid * (_GROUPS_PER_TILE * 32)
     it = it_ref[0]
     rk = rk_ref[:]
     add = lanes_permuted(
@@ -86,6 +86,7 @@ def _build(count: int, int_bits: int, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # iter scalar
             pl.BlockSpec(memory_space=pltpu.SMEM),  # add idx
             pl.BlockSpec(memory_space=pltpu.SMEM),  # minus idx
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # base block offset
             pl.BlockSpec(memory_space=pltpu.VMEM),  # round keys
         ],
         out_specs=pl.BlockSpec((1, merge, 32, _GROUPS_PER_TILE),
@@ -96,7 +97,7 @@ def _build(count: int, int_bits: int, interpret: bool):
         interpret=interpret,
     )
 
-    def run(q, it, add_idx, minus_idx, rk):
+    def run(q, it, add_idx, minus_idx, base_block, rk):
         qp = jnp.zeros((padded,), jnp.uint32).at[:count].set(q)
         # linear lane order (g, j, j0) -> kernel-native (j0, j, g) per tile
         q4 = qp.reshape(n_tiles, _GROUPS_PER_TILE, 32, merge).transpose(
@@ -106,6 +107,7 @@ def _build(count: int, int_bits: int, interpret: bool):
             jnp.asarray([it], jnp.int32),
             jnp.asarray([add_idx], jnp.int32),
             jnp.asarray([minus_idx], jnp.int32),
+            jnp.asarray([base_block], jnp.int32),
             jnp.asarray(rk, jnp.int32),
         )
         out = out4.transpose(0, 3, 2, 1).reshape(padded)
@@ -115,22 +117,27 @@ def _build(count: int, int_bits: int, interpret: bool):
 
 
 def pallas_mask_apply(q, rk, iter_index, add_idx, minus_idx, int_bits: int,
-                      interpret: bool = False):
-    """(q + stream(add_idx) - stream(minus_idx)) mod 2^int_bits, fused."""
+                      base_block=0, interpret: bool = False):
+    """(q + stream(add_idx) - stream(minus_idx)) mod 2^int_bits, fused.
+
+    base_block offsets the AES counters (must be 32-aligned) — the same
+    counter-offset contract as prp_lane_stream's begin_block, used by the
+    mesh shards (flashe_tpu/parallel/sharded.py).
+    """
     count = int(q.shape[0])
     return _build(count, int_bits, interpret)(q, iter_index, add_idx,
-                                              minus_idx, rk)
+                                              minus_idx, base_block, rk)
 
 
 def pallas_encrypt(q, rk, iter_index, client_idx, int_bits: int,
-                   interpret: bool = False):
+                   base_block=0, interpret: bool = False):
     """FLASHE double-mask encrypt (jzf_flashe.py:480-481), fully fused."""
     return pallas_mask_apply(q, rk, iter_index, client_idx, client_idx + 1,
-                             int_bits, interpret)
+                             int_bits, base_block, interpret)
 
 
 def pallas_decrypt(agg, rk, iter_index, num_clients, int_bits: int,
-                   interpret: bool = False):
+                   base_block=0, interpret: bool = False):
     """Boundary-mask decrypt of an aggregate (add idx=n, minus idx=0)."""
     return pallas_mask_apply(agg, rk, iter_index, num_clients, 0, int_bits,
-                             interpret)
+                             base_block, interpret)

@@ -48,12 +48,31 @@ def padded_lane_count(n: int, int_bits: int, n_shards: int) -> int:
     return -(-n // quantum) * quantum
 
 
+def _fused_default() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def encrypt_shard(rk, q_shard, iter_index, stream_idx, shard_id, int_bits,
-                  use_circuit=True):
-    """Encrypt one lane shard; counters offset by the shard's first block."""
+                  use_circuit=True, fused=None):
+    """Encrypt one lane shard; counters offset by the shard's first block.
+
+    fused=None picks the fused Pallas kernel on TPU backends (the
+    base_block counter offset keeps shards bit-identical to the
+    single-device stream) and the XLA stream path elsewhere.
+    """
     n = q_shard.shape[0]
     merge = merge_size(int_bits)
     begin = shard_id * (n // merge)
+    if fused is None:
+        fused = _fused_default()
+    if fused:
+        from flashe_tpu.ops.pallas_flashe import pallas_mask_apply
+
+        return pallas_mask_apply(q_shard, rk, iter_index, stream_idx,
+                                 stream_idx + 1, int_bits, base_block=begin)
     add = prp_lane_stream(rk, iter_index, stream_idx, n, int_bits,
                           begin_block=begin, use_circuit=use_circuit)
     minus = prp_lane_stream(rk, iter_index, stream_idx + 1, n, int_bits,
@@ -62,11 +81,18 @@ def encrypt_shard(rk, q_shard, iter_index, stream_idx, shard_id, int_bits,
 
 
 def decrypt_shard(rk, agg_shard, iter_index, num_clients, shard_id, int_bits,
-                  use_circuit=True):
+                  use_circuit=True, fused=None):
     """Boundary-mask decrypt of an aggregated lane shard."""
     n = agg_shard.shape[0]
     merge = merge_size(int_bits)
     begin = shard_id * (n // merge)
+    if fused is None:
+        fused = _fused_default()
+    if fused:
+        from flashe_tpu.ops.pallas_flashe import pallas_mask_apply
+
+        return pallas_mask_apply(agg_shard, rk, iter_index, num_clients, 0,
+                                 int_bits, base_block=begin)
     add = prp_lane_stream(rk, iter_index, num_clients, n, int_bits,
                           begin_block=begin, use_circuit=use_circuit)
     minus = prp_lane_stream(rk, iter_index, 0, n, int_bits,

@@ -42,3 +42,26 @@ def test_pallas_roundtrip_multi_tile():
     dec = pf.pallas_decrypt(agg, rk, 0, 3, int_bits, interpret=True)
     want = sum(np.asarray(q, np.int64) for q in qs) % (1 << int_bits)
     np.testing.assert_array_equal(np.asarray(dec, np.int64), want)
+
+
+def test_pallas_base_block_offset_matches_stream():
+    """base_block makes the kernel generate the global counter slice —
+    the sharded-mesh contract (parallel/sharded.py)."""
+    int_bits = 20
+    rk = aes.key_schedule(SEED).astype(np.int32)
+    merge = masks.merge_size(int_bits)
+    shard_lanes = 32 * merge * 4  # 4 groups per shard
+    total = 3 * shard_lanes
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randint(0, 1 << 16, total).astype(np.uint32))
+
+    # whole-vector encrypt vs per-shard encrypts with offsets
+    whole = np.asarray(
+        pf.pallas_encrypt(q, rk, 7, 1, int_bits, interpret=True))
+    parts = []
+    for s in range(3):
+        qs = q[s * shard_lanes:(s + 1) * shard_lanes]
+        base = s * (shard_lanes // merge)
+        parts.append(np.asarray(pf.pallas_encrypt(
+            qs, rk, 7, 1, int_bits, base_block=base, interpret=True)))
+    np.testing.assert_array_equal(np.concatenate(parts), whole)
