@@ -48,6 +48,7 @@ def cmd_submit(args) -> int:
         results = submit_job(param, shards, env_overrides=env)
         losses = results["arbiter_0"]["loss_history"]
         phases = results["guest_0"]["phases"]
+        transfer = results["guest_0"].get("transfer_stats")
     else:
         from flashe_tpu.nn.homo_nn import (
             HomoNNArbiter, HomoNNGuest, HomoNNHost,
@@ -71,6 +72,7 @@ def cmd_submit(args) -> int:
         results = run_roles(n_clients - 1, guest, host, arbiter)
         losses = results["arbiter"]
         phases = results["guest"]["phases"]
+        transfer = None
 
     out = {
         "loss_per_round": [round(float(v), 6) for v in losses],
@@ -78,6 +80,8 @@ def cmd_submit(args) -> int:
                        "count": v["count"]}
                    for k, v in phases.items()},
     }
+    if transfer is not None:
+        out["guest_transfer"] = transfer
     if args.json:
         print(json.dumps(out))
     else:

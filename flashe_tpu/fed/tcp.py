@@ -217,6 +217,7 @@ class TcpFederation(Federation):
             msg = pickle.loads(memoryview(frame)[off:])
             key = (msg["name"], msg["tag"], tuple(msg["src"]))
             nfrag = msg["nfrag"]
+            self.stats.add_recv_bytes(msg["name"], len(frame) + 8)
             with self._cond:
                 if nfrag == 1:
                     self._store[key] = pickle.loads(msg["payload"])
@@ -239,9 +240,9 @@ class TcpFederation(Federation):
                 "src": (src.role, src.party_id),
                 "frag": i, "nfrag": len(frags), "payload": frag,
             }, protocol=pickle.HIGHEST_PROTOCOL)
-            _send_frame(self._sock,
-                        _envelope(_DATA, dst.role, dst.party_id, body),
-                        self._send_lock)
+            frame = _envelope(_DATA, dst.role, dst.party_id, body)
+            self.stats.add_sent_bytes(name, len(frame) + 8)
+            _send_frame(self._sock, frame, self._send_lock)
 
     def _recv(self, name, tag, src: Party, dst: Party, timeout: float):
         key = (name, tag, (src.role, src.party_id))

@@ -16,7 +16,50 @@ from typing import Any, Dict, List, Sequence
 
 from flashe_tpu.fed import consts
 
-__all__ = ["Party", "Federation", "FederationAuthorization"]
+__all__ = ["Party", "Federation", "FederationAuthorization", "TransferStat"]
+
+
+class TransferStat:
+    """Per-variable transfer counters — the analogue of the reference
+    proxy's live stream statistics (arch/networking/proxy
+    model/StreamStat.java) plus fate_flow's per-transfer audit logs.
+    Byte counts are wire bytes where the transport serializes (TCP
+    federation); in-memory transports count messages only."""
+
+    def __init__(self):
+        self._rows: Dict[str, Dict[str, int]] = {}
+
+    def _row(self, name: str) -> Dict[str, int]:
+        return self._rows.setdefault(name, {
+            "sent_msgs": 0, "sent_bytes": 0,
+            "recv_msgs": 0, "recv_bytes": 0,
+        })
+
+    def count_send(self, name: str, nbytes: int = 0):
+        row = self._row(name)
+        row["sent_msgs"] += 1
+        row["sent_bytes"] += nbytes
+
+    def count_recv(self, name: str, nbytes: int = 0):
+        row = self._row(name)
+        row["recv_msgs"] += 1
+        row["recv_bytes"] += nbytes
+
+    def add_sent_bytes(self, name: str, nbytes: int):
+        self._row(name)["sent_bytes"] += nbytes
+
+    def add_recv_bytes(self, name: str, nbytes: int):
+        self._row(name)["recv_bytes"] += nbytes
+
+    def summary(self) -> Dict[str, Dict[str, int]]:
+        total = {"sent_msgs": 0, "sent_bytes": 0,
+                 "recv_msgs": 0, "recv_bytes": 0}
+        for row in self._rows.values():
+            for k in total:
+                total[k] += row[k]
+        out = dict(sorted(self._rows.items()))
+        out["__total__"] = total
+        return out
 
 
 @dataclasses.dataclass(frozen=True, order=True)
@@ -57,6 +100,7 @@ class Federation:
         self.local = local
         self.parties = list(parties)
         self.auth = authorization
+        self.stats = TransferStat()
 
     def roles_to_parties(self, roles: Sequence[str]) -> List[Party]:
         return [p for role in roles for p in self.parties if p.role == role]
@@ -64,13 +108,16 @@ class Federation:
     def remote(self, obj: Any, name: str, tag: str, dst: Party):
         if self.auth is not None:
             self.auth.check(name, self.local.role, dst.role)
+        self.stats.count_send(name)
         self._send(obj, name, f"{self.job_id}.{tag}", self.local, dst)
 
     def get(self, name: str, tag: str, src: Party, timeout: float = 600.0):
         if self.auth is not None:
             self.auth.check(name, src.role, self.local.role)
-        return self._recv(name, f"{self.job_id}.{tag}", src, self.local,
-                          timeout)
+        out = self._recv(name, f"{self.job_id}.{tag}", src, self.local,
+                         timeout)
+        self.stats.count_recv(name)
+        return out
 
     def clean(self, name: str, src: Party):
         """Drop any undelivered messages for (name, src->local)."""

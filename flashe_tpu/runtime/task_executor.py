@@ -62,6 +62,7 @@ def run_task(cfg: dict):
                             comp.aggregate_iter,
                             quantizer_stats={})
     out["phases"] = tracker().summary()
+    out["transfer_stats"] = fed.stats.summary()
     with open(cfg["out"], "wb") as f:
         pickle.dump(out, f)
     fed.close()

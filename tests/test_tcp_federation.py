@@ -111,3 +111,29 @@ def test_tcp_authorization_enforced():
     finally:
         fed.close()
         broker.close()
+
+
+def test_transfer_stats_counts_wire_bytes():
+    """TransferStat mirrors the proxy's StreamStat: per-variable message
+    and wire-byte counters on both ends."""
+    broker = FedBroker(native=False)
+    parties = default_parties(n_hosts=1)
+    auth = HomoTransferVariables.authorization()
+    guest = TcpFederation(broker.address, "jobS", parties[0], parties, auth)
+    arb = TcpFederation(broker.address, "jobS", parties[2], parties, auth)
+    trv_g = HomoTransferVariables(guest)
+    trv_a = HomoTransferVariables(arb)
+
+    payload = np.zeros(1_000_000)  # 8MB -> 2 fragments
+    trv_g.guest_to_arbiter.remote(obj=payload, role=ARBITER, idx=0,
+                                  suffix=("s",))
+    trv_a.guest_to_arbiter.get(idx=0, suffix=("s",), timeout=30)
+
+    gs = guest.stats.summary()["guest_to_arbiter"]
+    assert gs["sent_msgs"] == 1
+    assert gs["sent_bytes"] > payload.nbytes  # wire bytes >= payload
+    ar = arb.stats.summary()["guest_to_arbiter"]
+    assert ar["recv_msgs"] == 1
+    assert ar["recv_bytes"] > payload.nbytes
+    assert arb.stats.summary()["__total__"]["recv_msgs"] == 1
+    guest.close(); arb.close(); broker.close()
