@@ -45,7 +45,8 @@ def cmd_submit(args) -> int:
         from flashe_tpu.runtime.job import submit_job
 
         env = {"FLASHE_FORCE_CPU": "1"} if args.cpu else {}
-        results = submit_job(param, shards, env_overrides=env)
+        results = submit_job(param, shards, env_overrides=env,
+                             checkpoint_dir=args.checkpoint_dir)
         losses = results["arbiter_0"]["loss_history"]
         phases = results["guest_0"]["phases"]
         transfer = results["guest_0"].get("transfer_stats")
@@ -93,6 +94,45 @@ def cmd_submit(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    if args.cpu:
+        _force_cpu()
+    import numpy as np
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+
+    from flashe_tpu.nn.homo_nn import HomoNNGuest
+    from flashe_tpu.runtime.config import HomoNNParam
+
+    param = HomoNNParam.from_dict(cfg["param"])
+    if args.csv:
+        from flashe_tpu.data.io import read_dense_csv
+
+        x, y = read_dense_csv(args.csv,
+                              label_index=None if args.unlabeled else 0)
+    else:
+        from flashe_tpu.data import synthetic_dataset
+
+        x, y = synthetic_dataset(cfg.get("dataset", param.model),
+                                 cfg.get("samples_per_client", 128),
+                                 seed=cfg.get("seed", 0))
+
+    client = HomoNNGuest(param)
+    client.load_model(args.checkpoint, x[:1])
+    preds = np.asarray(client.predict(x))
+    labels = preds.argmax(axis=-1)
+    if args.out:
+        np.save(args.out, preds)
+    result = {"n": int(len(x)), "aggregate_iter": client.aggregate_iter}
+    if y is not None:
+        result["accuracy"] = round(float((labels == y).mean()), 4)
+    if args.out:
+        result["out"] = args.out
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_keygen(args) -> int:
     seed = os.urandom(32)
     print(seed.hex())
@@ -116,7 +156,24 @@ def main(argv=None) -> int:
                           help="force the CPU backend")
     p_submit.add_argument("--json", action="store_true",
                           help="machine-readable result on stdout")
+    p_submit.add_argument("--checkpoint-dir",
+                          help="with --processes: each client saves its "
+                               "final model there (<role>_<id>.ckpt)")
     p_submit.set_defaults(fn=cmd_submit)
+
+    p_pred = sub.add_parser(
+        "predict", help="run predictions with a checkpointed model")
+    p_pred.add_argument("-c", "--config", required=True)
+    p_pred.add_argument("--checkpoint", required=True,
+                        help="checkpoint written by a submit run "
+                             "(param.checkpoint) or save_checkpoint")
+    p_pred.add_argument("--csv", help="dense CSV to predict on "
+                                      "(default: the config's dataset)")
+    p_pred.add_argument("--unlabeled", action="store_true",
+                        help="the CSV has no label column")
+    p_pred.add_argument("--out", help="write raw prediction scores (.npy)")
+    p_pred.add_argument("--cpu", action="store_true")
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_key = sub.add_parser("keygen",
                            help="generate a fresh 256-bit PRP seed (hex)")

@@ -88,6 +88,19 @@ class HomoNNClient:
     def predict(self, x: np.ndarray) -> np.ndarray:
         return self.trainer.predict(x)
 
+    def load_model(self, checkpoint_path: str, input_example: np.ndarray):
+        """Restore weights + aggregate_iter from a checkpoint (reference
+        load_model, enter_point.py:262-269); a subsequent fit(...,
+        start_iter=self.aggregate_iter) resumes the federation loop."""
+        from flashe_tpu.runtime.checkpoint import load_checkpoint
+
+        if self.trainer is None:
+            self._build(input_example)
+        state = load_checkpoint(checkpoint_path, self.trainer.params)
+        self.trainer.set_model_weights(state["params"])
+        self.aggregate_iter = state["aggregate_iter"]
+        return self
+
 
 class HomoNNGuest(HomoNNClient):
     role = "guest"

@@ -32,10 +32,13 @@ def submit_job(param: HomoNNParam,
                shards: Sequence[Tuple[np.ndarray, np.ndarray]],
                workdir: str | None = None,
                timeout: float = 900.0,
-               env_overrides: Dict[str, str] | None = None) -> Dict[str, dict]:
+               env_overrides: Dict[str, str] | None = None,
+               checkpoint_dir: str | None = None) -> Dict[str, dict]:
     """Run guest + hosts + arbiter as subprocesses; return per-role outputs.
 
     shards[0] is the guest's data; shards[1:] go to hosts.
+    checkpoint_dir: each client saves its final model + aggregate_iter
+    there as <role>_<party>.ckpt (reference save_output_model analogue).
     """
     param.check()
     job_id = uuid.uuid4().hex[:12]
@@ -65,6 +68,10 @@ def submit_job(param: HomoNNParam,
                 data_path = os.path.join(workdir, f"{role}_{pid}.npz")
                 np.savez(data_path, x=shard[0], y=shard[1])
                 cfg["data"] = data_path
+                if checkpoint_dir:
+                    os.makedirs(checkpoint_dir, exist_ok=True)
+                    cfg["checkpoint"] = os.path.join(
+                        checkpoint_dir, f"{role}_{pid}.ckpt")
             cfg_path = os.path.join(workdir, f"{role}_{pid}.json")
             with open(cfg_path, "w") as f:
                 json.dump(cfg, f)

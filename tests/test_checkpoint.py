@@ -29,3 +29,27 @@ def test_checkpoint_roundtrip(tmp_path):
     want = jnp.concatenate([x.ravel() for x in
                             __import__("jax").tree_util.tree_leaves(params)])
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_load_model_restores_client(tmp_path):
+    """HomoNNClient.load_model restores weights + aggregate_iter
+    (reference load_model, enter_point.py:262-269)."""
+    import numpy as np
+
+    from flashe_tpu.nn.homo_nn import HomoNNGuest
+    from flashe_tpu.runtime.config import HomoNNParam
+
+    param = HomoNNParam.from_dict(
+        {"model": "mlp", "max_iter": 1, "secure_aggregate": "plain"})
+    x = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+
+    src = HomoNNGuest(param, seed=0)
+    src._build(x[:1])
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, src.trainer.params, aggregate_iter=5)
+
+    dst = HomoNNGuest(param, seed=9)
+    dst.load_model(path, x[:1])
+    assert dst.aggregate_iter == 5
+    np.testing.assert_array_equal(
+        np.asarray(dst.predict(x)), np.asarray(src.predict(x)))
