@@ -32,24 +32,48 @@ def cmd_submit(args) -> int:
     with open(args.config) as f:
         cfg = json.load(f)
 
-    from flashe_tpu.data import federated_dataset
+    from flashe_tpu.data import federated_dataset, partition_iid
     from flashe_tpu.runtime.config import HomoNNParam
 
     param = HomoNNParam.from_dict(cfg["param"])
     n_clients = cfg.get("n_clients", 3)
-    shards = federated_dataset(cfg.get("dataset", param.model), n_clients,
-                               cfg.get("samples_per_client", 128),
-                               seed=cfg.get("seed", 0))
+    dataset = cfg.get("dataset", param.model)
+    if isinstance(dataset, dict):
+        # an uploaded table: {"namespace": ..., "name": ...}
+        from flashe_tpu.data.store import default_store
+
+        x, y, _meta = default_store().load(dataset["namespace"],
+                                           dataset["name"])
+        shards = partition_iid(x, y, n_clients, seed=cfg.get("seed", 0))
+    else:
+        shards = federated_dataset(dataset, n_clients,
+                                   cfg.get("samples_per_client", 128),
+                                   seed=cfg.get("seed", 0))
 
     if args.processes:
+        import tempfile
+
         from flashe_tpu.runtime.job import submit_job
 
         env = {"FLASHE_FORCE_CPU": "1"} if args.cpu else {}
+        ckpt_dir = args.checkpoint_dir
+        if args.publish and not ckpt_dir:
+            ckpt_dir = tempfile.mkdtemp(prefix="flashe_publish_")
         results = submit_job(param, shards, env_overrides=env,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=ckpt_dir)
         losses = results["arbiter_0"]["loss_history"]
         phases = results["guest_0"]["phases"]
         transfer = results["guest_0"].get("transfer_stats")
+        if args.publish:
+            from flashe_tpu.runtime.model_manager import (
+                default_model_manager,
+            )
+
+            meta = default_model_manager().publish_checkpoint(
+                args.publish, results["__job__"]["job_id"],
+                os.path.join(ckpt_dir, "guest_0.ckpt"),
+                param_dict=param.to_dict())
+            print(json.dumps({"published": meta}), file=sys.stderr)
     else:
         from flashe_tpu.nn.homo_nn import (
             HomoNNArbiter, HomoNNGuest, HomoNNHost,
@@ -118,8 +142,28 @@ def cmd_predict(args) -> int:
                                  cfg.get("samples_per_client", 128),
                                  seed=cfg.get("seed", 0))
 
+    ckpt = args.checkpoint
+    if ckpt is None:
+        if not args.model:
+            print("predict: one of --checkpoint / --model is required",
+                  file=sys.stderr)
+            return 2
+        from flashe_tpu.runtime.model_manager import default_model_manager
+
+        mm = default_model_manager()
+        ns, _, ver = args.model.partition(":")
+        if not ver:
+            ver = mm.bound_version(ns)
+            if ver is None:
+                versions = mm.list_versions(ns)
+                if not versions:
+                    print(f"predict: no models in namespace {ns}",
+                          file=sys.stderr)
+                    return 2
+                ver = versions[-1]["version"]
+        ckpt = mm.checkpoint_path(ns, ver)
     client = HomoNNGuest(param)
-    client.load_model(args.checkpoint, x[:1])
+    client.load_model(ckpt, x[:1])
     preds = np.asarray(client.predict(x))
     labels = preds.argmax(axis=-1)
     if args.out:
@@ -136,6 +180,111 @@ def cmd_predict(args) -> int:
 def cmd_keygen(args) -> int:
     seed = os.urandom(32)
     print(seed.hex())
+    return 0
+
+
+# -- job management (fate_flow_client -f query_job/stop_job analogues) ------
+
+
+def cmd_jobs(args) -> int:
+    from flashe_tpu.runtime.job_manager import default_registry
+
+    rows = default_registry().list_jobs()
+    if args.json:
+        print(json.dumps(rows))
+        return 0
+    for rec in rows:
+        print(f"{rec['job_id']}  {rec['status']:<9} "
+              f"tasks={len(rec.get('tasks', {}))}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from flashe_tpu.runtime.job_manager import default_registry
+
+    print(json.dumps(default_registry().query(args.job_id), indent=1))
+    return 0
+
+
+def cmd_stop(args) -> int:
+    from flashe_tpu.runtime.job_manager import default_registry
+
+    rec = default_registry().stop(args.job_id)
+    print(json.dumps({"job_id": rec["job_id"], "status": rec["status"]}))
+    return 0
+
+
+def cmd_logs(args) -> int:
+    from flashe_tpu.runtime.job_manager import default_registry
+
+    logs = default_registry().read_log(args.job_id, task=args.task,
+                                       tail=args.tail)
+    for task, text in logs.items():
+        print(f"===== {task} =====")
+        print(text)
+    return 0
+
+
+# -- model manager (fate_flow_client -f load/bind analogues) ----------------
+
+
+def cmd_models(args) -> int:
+    from flashe_tpu.runtime.model_manager import default_model_manager
+
+    mm = default_model_manager()
+    rows = mm.list_versions(args.namespace)
+    bound = mm.bound_version(args.namespace)
+    if args.json:
+        print(json.dumps({"versions": rows, "bound": bound}))
+        return 0
+    for meta in rows:
+        star = "*" if meta["version"] == bound else " "
+        print(f"{star} {meta['namespace']}/{meta['version']}  "
+              f"iter={meta['aggregate_iter']}")
+    return 0
+
+
+def cmd_bind(args) -> int:
+    from flashe_tpu.runtime.model_manager import default_model_manager
+
+    print(json.dumps(default_model_manager().bind(args.namespace,
+                                                  args.version)))
+    return 0
+
+
+# -- data store (fate_flow_client -f upload/download analogues) -------------
+
+
+def cmd_upload(args) -> int:
+    from flashe_tpu.data.store import default_store
+
+    meta = default_store().upload_csv(
+        args.file, args.namespace, args.name,
+        label_index=None if args.unlabeled else args.label_index,
+        has_header=not args.no_header, partition=args.partition)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_download(args) -> int:
+    from flashe_tpu.data.store import default_store
+
+    meta = default_store().download_csv(args.namespace, args.name, args.out)
+    print(json.dumps({"namespace": meta["namespace"], "name": meta["name"],
+                      "count": meta["count"], "out": args.out}))
+    return 0
+
+
+def cmd_tables(args) -> int:
+    from flashe_tpu.data.store import default_store
+
+    rows = default_store().list_tables()
+    if args.json:
+        print(json.dumps(rows))
+        return 0
+    for meta in rows:
+        print(f"{meta['namespace']}.{meta['name']}  n={meta['count']} "
+              f"features={meta['feature_shape']} labeled={meta['labeled']}")
     return 0
 
 
@@ -159,14 +308,21 @@ def main(argv=None) -> int:
     p_submit.add_argument("--checkpoint-dir",
                           help="with --processes: each client saves its "
                                "final model there (<role>_<id>.ckpt)")
+    p_submit.add_argument("--publish",
+                          help="with --processes: register the guest's "
+                               "final model in the model store under this "
+                               "namespace (version = job id)")
     p_submit.set_defaults(fn=cmd_submit)
 
     p_pred = sub.add_parser(
         "predict", help="run predictions with a checkpointed model")
     p_pred.add_argument("-c", "--config", required=True)
-    p_pred.add_argument("--checkpoint", required=True,
+    p_pred.add_argument("--checkpoint",
                         help="checkpoint written by a submit run "
                              "(param.checkpoint) or save_checkpoint")
+    p_pred.add_argument("--model",
+                        help="stored model 'namespace[:version]' "
+                             "(default version: the bound / newest one)")
     p_pred.add_argument("--csv", help="dense CSV to predict on "
                                       "(default: the config's dataset)")
     p_pred.add_argument("--unlabeled", action="store_true",
@@ -178,6 +334,59 @@ def main(argv=None) -> int:
     p_key = sub.add_parser("keygen",
                            help="generate a fresh 256-bit PRP seed (hex)")
     p_key.set_defaults(fn=cmd_keygen)
+
+    p_jobs = sub.add_parser("jobs", help="list submitted jobs")
+    p_jobs.add_argument("--json", action="store_true")
+    p_jobs.set_defaults(fn=cmd_jobs)
+
+    p_query = sub.add_parser("query", help="query a job's status")
+    p_query.add_argument("-j", "--job-id", required=True)
+    p_query.set_defaults(fn=cmd_query)
+
+    p_stop = sub.add_parser("stop", help="stop a running job")
+    p_stop.add_argument("-j", "--job-id", required=True)
+    p_stop.set_defaults(fn=cmd_stop)
+
+    p_logs = sub.add_parser("logs", help="print a job's task logs")
+    p_logs.add_argument("-j", "--job-id", required=True)
+    p_logs.add_argument("--task", help="one task, e.g. guest_0")
+    p_logs.add_argument("--tail", type=int, default=0,
+                        help="only the last N lines")
+    p_logs.set_defaults(fn=cmd_logs)
+
+    p_up = sub.add_parser(
+        "upload", help="ingest a dense CSV into the dataset store")
+    p_up.add_argument("-f", "--file", required=True)
+    p_up.add_argument("-n", "--namespace", required=True)
+    p_up.add_argument("-t", "--name", required=True)
+    p_up.add_argument("--label-index", type=int, default=0)
+    p_up.add_argument("--unlabeled", action="store_true")
+    p_up.add_argument("--no-header", action="store_true")
+    p_up.add_argument("--partition", type=int, default=1)
+    p_up.set_defaults(fn=cmd_upload)
+
+    p_down = sub.add_parser(
+        "download", help="export a stored table back to CSV")
+    p_down.add_argument("-n", "--namespace", required=True)
+    p_down.add_argument("-t", "--name", required=True)
+    p_down.add_argument("-o", "--out", required=True)
+    p_down.set_defaults(fn=cmd_download)
+
+    p_tab = sub.add_parser("tables", help="list stored tables")
+    p_tab.add_argument("--json", action="store_true")
+    p_tab.set_defaults(fn=cmd_tables)
+
+    p_models = sub.add_parser("models",
+                              help="list stored model versions")
+    p_models.add_argument("-n", "--namespace", required=True)
+    p_models.add_argument("--json", action="store_true")
+    p_models.set_defaults(fn=cmd_models)
+
+    p_bind = sub.add_parser(
+        "bind", help="mark a model version as the serving default")
+    p_bind.add_argument("-n", "--namespace", required=True)
+    p_bind.add_argument("-v", "--version", required=True)
+    p_bind.set_defaults(fn=cmd_bind)
 
     args = ap.parse_args(argv)
     return args.fn(args)

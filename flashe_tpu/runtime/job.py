@@ -24,8 +24,13 @@ import numpy as np
 
 from flashe_tpu.fed.tcp import FedBroker
 from flashe_tpu.runtime.config import HomoNNParam
+from flashe_tpu.runtime.job_manager import JobRegistry, default_registry
 
-__all__ = ["submit_job"]
+__all__ = ["submit_job", "JobCanceled"]
+
+
+class JobCanceled(RuntimeError):
+    """The job was stopped via the registry (stop_job analogue)."""
 
 
 def submit_job(param: HomoNNParam,
@@ -33,22 +38,34 @@ def submit_job(param: HomoNNParam,
                workdir: str | None = None,
                timeout: float = 900.0,
                env_overrides: Dict[str, str] | None = None,
-               checkpoint_dir: str | None = None) -> Dict[str, dict]:
+               checkpoint_dir: str | None = None,
+               registry: JobRegistry | None = None,
+               job_id: str | None = None) -> Dict[str, dict]:
     """Run guest + hosts + arbiter as subprocesses; return per-role outputs.
 
     shards[0] is the guest's data; shards[1:] go to hosts.
     checkpoint_dir: each client saves its final model + aggregate_iter
     there as <role>_<party>.ckpt (reference save_output_model analogue).
+    Job state + per-task logs persist under the registry
+    (query_job/stop_job via `python -m flashe_tpu jobs/query/stop/logs`).
     """
     param.check()
-    job_id = uuid.uuid4().hex[:12]
+    job_id = job_id or uuid.uuid4().hex[:12]
     n_hosts = len(shards) - 1
     workdir = workdir or tempfile.mkdtemp(prefix=f"flashe_job_{job_id}_")
     os.makedirs(workdir, exist_ok=True)
+    reg = registry or default_registry()
+    reg.create(job_id, {
+        "param": param.to_dict(),
+        "n_hosts": n_hosts,
+        "workdir": workdir,
+    })
 
     broker = FedBroker()
     procs: List[subprocess.Popen] = []
+    names: Dict[int, str] = {}
     outs = {}
+    status, err = "success", ""
     try:
         roles = [("guest", 0, shards[0])]
         roles += [("host", h, shards[1 + h]) for h in range(n_hosts)]
@@ -77,35 +94,55 @@ def submit_job(param: HomoNNParam,
                 json.dump(cfg, f)
             env = dict(os.environ)
             env.update(env_overrides or {})
-            procs.append(subprocess.Popen(
-                [sys.executable, "-m", "flashe_tpu.runtime.task_executor",
-                 "-c", cfg_path],
-                env=env, cwd=os.path.dirname(os.path.dirname(
-                    os.path.dirname(os.path.abspath(__file__)))),
-            ))
-            outs[f"{role}_{pid}"] = cfg["out"]
+            task = f"{role}_{pid}"
+            log_path = os.path.join(reg.log_dir(job_id), task + ".log")
+            with open(log_path, "ab") as logf:
+                proc = subprocess.Popen(
+                    [sys.executable, "-m",
+                     "flashe_tpu.runtime.task_executor", "-c", cfg_path],
+                    env=env, stdout=logf, stderr=subprocess.STDOUT,
+                    cwd=os.path.dirname(os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__)))),
+                )
+            procs.append(proc)
+            names[proc.pid] = task
+            reg.set_task(job_id, task, proc.pid)
+            outs[task] = cfg["out"]
 
         deadline = time.time() + timeout
         pending = list(procs)
         while pending:
             if time.time() > deadline:
                 raise TimeoutError(f"job {job_id} timed out")
+            if reg.is_canceled(job_id):
+                raise JobCanceled(f"job {job_id} was stopped")
             for p in list(pending):
                 rc = p.poll()
                 if rc is None:
                     continue
                 pending.remove(p)
+                reg.set_task_status(job_id, names[p.pid],
+                                    "success" if rc == 0 else "failed")
                 if rc != 0:
                     raise RuntimeError(
-                        f"job {job_id}: task {p.args} failed rc={rc}")
+                        f"job {job_id}: task {names[p.pid]} failed rc={rc} "
+                        f"(log: {os.path.join(reg.log_dir(job_id), names[p.pid] + '.log')})")
             time.sleep(0.2)
+    except BaseException as e:
+        status = ("canceled" if isinstance(e, JobCanceled)
+                  else "timeout" if isinstance(e, TimeoutError)
+                  else "failed")
+        err = str(e)
+        raise
     finally:
         for p in procs:
             if p.poll() is None:
                 p.terminate()
         broker.close()
+        reg.finish(job_id, status, err)
 
-    results = {}
+    results = {"__job__": {"job_id": job_id, "workdir": workdir,
+                           "logs": reg.log_dir(job_id)}}
     for key, path in outs.items():
         with open(path, "rb") as f:
             results[key] = pickle.load(f)

@@ -22,3 +22,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+# keep the job registry / dataset store out of the real home dir unless a
+# test overrides them explicitly
+import tempfile  # noqa: E402
+
+_state = tempfile.mkdtemp(prefix="flashe_test_state_")
+os.environ.setdefault("FLASHE_JOBS_DIR", os.path.join(_state, "jobs"))
+os.environ.setdefault("FLASHE_DATA_DIR", os.path.join(_state, "data"))
+os.environ.setdefault("FLASHE_MODELS_DIR", os.path.join(_state, "models"))
