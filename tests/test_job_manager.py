@@ -91,6 +91,56 @@ def test_store_cli(tmp_path, monkeypatch, capsys):
     assert os.path.exists(out_csv)
 
 
+@pytest.mark.slow
+def test_failed_task_aborts_job_and_marks_registry(tmp_path, monkeypatch):
+    """A dead task aborts the job and the registry records the failure
+    (reference job_detector / TaskScheduler.check_task_status,
+    task_scheduler.py:247-286)."""
+    monkeypatch.setenv("FLASHE_JOBS_DIR", str(tmp_path / "jobs"))
+    from flashe_tpu.data import federated_dataset
+    from flashe_tpu.runtime.config import (
+        HomoNNParam, QuantizeConfig, SecureAggregateArgs,
+    )
+    from flashe_tpu.runtime.job import submit_job
+
+    shards = federated_dataset("mlp", 2, 32, seed=0)
+    param = HomoNNParam(
+        model="mlp", model_kwargs={"features": (8, 10)},
+        secure_aggregate="flashe",
+        secure_aggregate_args=SecureAggregateArgs(
+            quantize=QuantizeConfig(int_bits=20, element_bits=16)),
+        max_iter=1, batch_size=16,
+    )
+    workdir = str(tmp_path / "work")
+    os.makedirs(workdir)
+    # corrupt the host's data shard after the runner writes it: the host
+    # executor dies on load and the runner must abort the whole job
+    orig_savez = np.savez
+
+    def sabotage(path, **arrays):
+        orig_savez(path, **arrays)
+        if "host_0" in str(path):
+            with open(path, "wb") as f:
+                f.write(b"not-an-npz")
+
+    monkeypatch.setattr(np, "savez", sabotage)
+    with pytest.raises(RuntimeError, match="host_0 failed"):
+        submit_job(param, shards, workdir=workdir, timeout=300,
+                   env_overrides={"JAX_PLATFORMS": "cpu",
+                                  "FLASHE_FORCE_CPU": "1"})
+
+    from flashe_tpu.runtime.job_manager import default_registry
+
+    jobs = default_registry().list_jobs()
+    assert len(jobs) == 1
+    rec = jobs[0]
+    assert rec["status"] == "failed"
+    assert rec["tasks"]["host_0"]["status"] == "failed"
+    # the failing task's log was captured
+    logs = default_registry().read_log(rec["job_id"], task="host_0")
+    assert "host_0" in logs
+
+
 # -- job registry --------------------------------------------------------------
 
 
