@@ -118,6 +118,52 @@ def cmd_submit(args) -> int:
     return 0
 
 
+def cmd_submit_dsl(args) -> int:
+    """FATE-style submission: -d train_job_dsl.json -c train_job_conf.json
+    (fate_flow_client.py:196-225).  Reference job confs work unchanged —
+    nn_define JSON is interpreted directly."""
+    if args.cpu:
+        _force_cpu()
+    with open(args.dsl) as f:
+        dsl = json.load(f)
+    with open(args.config) as f:
+        conf = json.load(f)
+
+    if args.processes:
+        from flashe_tpu.runtime.job import submit_dsl_job
+
+        env = {"FLASHE_FORCE_CPU": "1"} if args.cpu else {}
+        results = submit_dsl_job(dsl, conf, env_overrides=env)
+    else:
+        from flashe_tpu.runtime.dsl import run_dsl_job
+
+        results = run_dsl_job(dsl, conf)
+
+    out = {}
+    for role_key, res in results.items():
+        if role_key == "__job__":
+            out["job"] = res
+            continue
+        if not isinstance(res, dict):
+            continue
+        role_out = {}
+        for comp, val in res.items():
+            if isinstance(val, dict) and "loss_history" in val:
+                role_out[comp] = {"loss_per_round": [
+                    round(float(v), 6) for v in val["loss_history"]]}
+            elif isinstance(val, dict) and "history" in val:
+                role_out[comp] = {"final": val["history"][-1]
+                                  if val["history"] else None}
+            elif isinstance(val, dict) and "accuracy" in val:
+                role_out[comp] = {k: (round(v, 6)
+                                      if isinstance(v, float) else v)
+                                  for k, v in val.items()}
+        if role_out:
+            out[role_key] = role_out
+    print(json.dumps(out) if args.json else json.dumps(out, indent=1))
+    return 0
+
+
 def cmd_predict(args) -> int:
     if args.cpu:
         _force_cpu()
@@ -313,6 +359,20 @@ def main(argv=None) -> int:
                                "final model in the model store under this "
                                "namespace (version = job id)")
     p_submit.set_defaults(fn=cmd_submit)
+
+    p_dsl = sub.add_parser(
+        "submit-dsl",
+        help="run a FATE-style DSL job (-d dsl.json -c conf.json)")
+    p_dsl.add_argument("-d", "--dsl", required=True,
+                       help="component-DAG DSL JSON (train_job_dsl.json)")
+    p_dsl.add_argument("-c", "--config", required=True,
+                       help="job conf JSON (train_job_conf.json)")
+    p_dsl.add_argument("--processes", action="store_true",
+                       help="one OS process per party over the native "
+                            "federation broker")
+    p_dsl.add_argument("--cpu", action="store_true")
+    p_dsl.add_argument("--json", action="store_true")
+    p_dsl.set_defaults(fn=cmd_submit_dsl)
 
     p_pred = sub.add_parser(
         "predict", help="run predictions with a checkpointed model")

@@ -123,6 +123,17 @@ _REGISTRY: Dict[str, Callable[..., nn.Module]] = {
 
 
 def build_model(name: str, **kwargs: Any) -> nn.Module:
+    if name in ("keras", "nn_define"):
+        # a Keras-JSON nn_define from a reference-style job conf
+        # (federatedml/nn/backend/tf_keras/jzf_nn_model.py:99-109)
+        import json
+
+        from flashe_tpu.nn.keras_define import KerasDefineModel
+
+        define = kwargs["nn_define"]
+        if not isinstance(define, str):
+            define = json.dumps(define)
+        return KerasDefineModel(define)
     if name not in _REGISTRY:
         raise ValueError(f"unknown model {name}; have {sorted(_REGISTRY)}")
     return _REGISTRY[name](**kwargs)

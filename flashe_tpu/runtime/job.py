@@ -26,11 +26,75 @@ from flashe_tpu.fed.tcp import FedBroker
 from flashe_tpu.runtime.config import HomoNNParam
 from flashe_tpu.runtime.job_manager import JobRegistry, default_registry
 
-__all__ = ["submit_job", "JobCanceled"]
+__all__ = ["submit_job", "submit_dsl_job", "JobCanceled"]
 
 
 class JobCanceled(RuntimeError):
     """The job was stopped via the registry (stop_job analogue)."""
+
+
+def _run_party_processes(job_id: str, reg: JobRegistry, workdir: str,
+                         task_cfgs: List[dict], timeout: float,
+                         env_overrides: Dict[str, str] | None) -> None:
+    """Spawn one task-executor process per config and watch liveness.
+
+    Each cfg must carry "role"/"party_id"/"out"; broker address is added
+    by the caller.  Raises on timeout, cancellation or task failure
+    (TaskScheduler.check_task_status / kill_job semantics)."""
+    procs: List[subprocess.Popen] = []
+    names: Dict[int, str] = {}
+    status, err = "success", ""
+    try:
+        for cfg in task_cfgs:
+            task = f"{cfg['role']}_{cfg['party_id']}"
+            cfg_path = os.path.join(workdir, task + ".json")
+            with open(cfg_path, "w") as f:
+                json.dump(cfg, f)
+            env = dict(os.environ)
+            env.update(env_overrides or {})
+            log_path = os.path.join(reg.log_dir(job_id), task + ".log")
+            with open(log_path, "ab") as logf:
+                proc = subprocess.Popen(
+                    [sys.executable, "-m",
+                     "flashe_tpu.runtime.task_executor", "-c", cfg_path],
+                    env=env, stdout=logf, stderr=subprocess.STDOUT,
+                    cwd=os.path.dirname(os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__)))),
+                )
+            procs.append(proc)
+            names[proc.pid] = task
+            reg.set_task(job_id, task, proc.pid)
+
+        deadline = time.time() + timeout
+        pending = list(procs)
+        while pending:
+            if time.time() > deadline:
+                raise TimeoutError(f"job {job_id} timed out")
+            if reg.is_canceled(job_id):
+                raise JobCanceled(f"job {job_id} was stopped")
+            for p in list(pending):
+                rc = p.poll()
+                if rc is None:
+                    continue
+                pending.remove(p)
+                reg.set_task_status(job_id, names[p.pid],
+                                    "success" if rc == 0 else "failed")
+                if rc != 0:
+                    raise RuntimeError(
+                        f"job {job_id}: task {names[p.pid]} failed rc={rc} "
+                        f"(log: {os.path.join(reg.log_dir(job_id), names[p.pid] + '.log')})")
+            time.sleep(0.2)
+    except BaseException as e:
+        status = ("canceled" if isinstance(e, JobCanceled)
+                  else "timeout" if isinstance(e, TimeoutError)
+                  else "failed")
+        err = str(e)
+        raise
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        reg.finish(job_id, status, err)
 
 
 def submit_job(param: HomoNNParam,
@@ -62,14 +126,12 @@ def submit_job(param: HomoNNParam,
     })
 
     broker = FedBroker()
-    procs: List[subprocess.Popen] = []
-    names: Dict[int, str] = {}
     outs = {}
-    status, err = "success", ""
     try:
         roles = [("guest", 0, shards[0])]
         roles += [("host", h, shards[1 + h]) for h in range(n_hosts)]
         roles += [("arbiter", 0, None)]
+        cfgs = []
         for i, (role, pid, shard) in enumerate(roles):
             cfg = {
                 "job_id": job_id,
@@ -89,57 +151,76 @@ def submit_job(param: HomoNNParam,
                     os.makedirs(checkpoint_dir, exist_ok=True)
                     cfg["checkpoint"] = os.path.join(
                         checkpoint_dir, f"{role}_{pid}.ckpt")
-            cfg_path = os.path.join(workdir, f"{role}_{pid}.json")
-            with open(cfg_path, "w") as f:
-                json.dump(cfg, f)
-            env = dict(os.environ)
-            env.update(env_overrides or {})
-            task = f"{role}_{pid}"
-            log_path = os.path.join(reg.log_dir(job_id), task + ".log")
-            with open(log_path, "ab") as logf:
-                proc = subprocess.Popen(
-                    [sys.executable, "-m",
-                     "flashe_tpu.runtime.task_executor", "-c", cfg_path],
-                    env=env, stdout=logf, stderr=subprocess.STDOUT,
-                    cwd=os.path.dirname(os.path.dirname(
-                        os.path.dirname(os.path.abspath(__file__)))),
-                )
-            procs.append(proc)
-            names[proc.pid] = task
-            reg.set_task(job_id, task, proc.pid)
-            outs[task] = cfg["out"]
-
-        deadline = time.time() + timeout
-        pending = list(procs)
-        while pending:
-            if time.time() > deadline:
-                raise TimeoutError(f"job {job_id} timed out")
-            if reg.is_canceled(job_id):
-                raise JobCanceled(f"job {job_id} was stopped")
-            for p in list(pending):
-                rc = p.poll()
-                if rc is None:
-                    continue
-                pending.remove(p)
-                reg.set_task_status(job_id, names[p.pid],
-                                    "success" if rc == 0 else "failed")
-                if rc != 0:
-                    raise RuntimeError(
-                        f"job {job_id}: task {names[p.pid]} failed rc={rc} "
-                        f"(log: {os.path.join(reg.log_dir(job_id), names[p.pid] + '.log')})")
-            time.sleep(0.2)
-    except BaseException as e:
-        status = ("canceled" if isinstance(e, JobCanceled)
-                  else "timeout" if isinstance(e, TimeoutError)
-                  else "failed")
-        err = str(e)
-        raise
+            cfgs.append(cfg)
+            outs[f"{role}_{pid}"] = cfg["out"]
+        _run_party_processes(job_id, reg, workdir, cfgs, timeout,
+                             env_overrides)
     finally:
-        for p in procs:
-            if p.poll() is None:
-                p.terminate()
         broker.close()
-        reg.finish(job_id, status, err)
+
+    results = {"__job__": {"job_id": job_id, "workdir": workdir,
+                           "logs": reg.log_dir(job_id)}}
+    for key, path in outs.items():
+        with open(path, "rb") as f:
+            results[key] = pickle.load(f)
+    return results
+
+
+def submit_dsl_job(dsl: dict, conf: dict,
+                   workdir: str | None = None,
+                   timeout: float = 900.0,
+                   env_overrides: Dict[str, str] | None = None,
+                   registry: JobRegistry | None = None,
+                   data_root: str | None = None,
+                   job_id: str | None = None) -> Dict[str, dict]:
+    """Run a FATE-style DSL job with one OS process per (role, party).
+
+    The process-mode counterpart of runtime/dsl.py::run_dsl_job — the
+    full fate_flow shape: submit(dsl, conf) -> per-party task executors
+    over the native federation broker, each walking the component DAG
+    (task_scheduler.py:133-315).  data_root overrides the dataset-store
+    location the executors read DataIO tables from.
+    """
+    from flashe_tpu.runtime.dsl import JobConf, parse_dsl
+
+    parse_dsl(dsl)  # validate before spawning anything
+    jc = JobConf.parse(conf)
+    job_id = job_id or uuid.uuid4().hex[:12]
+    workdir = workdir or tempfile.mkdtemp(prefix=f"flashe_job_{job_id}_")
+    os.makedirs(workdir, exist_ok=True)
+    reg = registry or default_registry()
+    reg.create(job_id, {"dsl": dsl, "n_hosts": jc.n_hosts,
+                        "workdir": workdir})
+
+    broker = FedBroker()
+    outs = {}
+    try:
+        roles = [("guest", 0, 0)]
+        roles += [("host", h, h) for h in range(jc.n_hosts)]
+        roles += [("arbiter", 0, 0)]
+        cfgs = []
+        for i, (role, pid, ordinal) in enumerate(roles):
+            cfg = {
+                "job_id": job_id,
+                "kind": "dsl",
+                "role": role,
+                "party_id": pid,
+                "ordinal": ordinal,
+                "n_hosts": jc.n_hosts,
+                "broker": list(broker.address),
+                "dsl": dsl,
+                "conf": conf,
+                "seed": i,
+                "out": os.path.join(workdir, f"{role}_{pid}.out"),
+            }
+            if data_root:
+                cfg["data_root"] = data_root
+            cfgs.append(cfg)
+            outs[f"{role}_{pid}"] = cfg["out"]
+        _run_party_processes(job_id, reg, workdir, cfgs, timeout,
+                             env_overrides)
+    finally:
+        broker.close()
 
     results = {"__job__": {"job_id": job_id, "workdir": workdir,
                            "logs": reg.log_dir(job_id)}}

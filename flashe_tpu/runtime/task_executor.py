@@ -41,17 +41,39 @@ def run_task(cfg: dict):
     party_id = cfg["party_id"]
     parties = default_parties(cfg["n_hosts"])
     local = Party(role, party_id)
-    param = HomoNNParam.from_dict(cfg["param"])
 
     fed = TcpFederation(tuple(cfg["broker"]), cfg["job_id"], local, parties,
                         HomoTransferVariables.authorization())
     trv = HomoTransferVariables(fed)
 
     out = {"role": role, "party_id": party_id}
-    if role == "arbiter":
+    if cfg.get("kind") == "dsl":
+        # FATE-style component-DAG task (see runtime/dsl.py)
+        from flashe_tpu.runtime.dsl import (
+            JobConf, arbiter_pipeline, client_pipeline, parse_dsl,
+        )
+
+        components = parse_dsl(cfg["dsl"])
+        jc = JobConf.parse(cfg["conf"])
+        store = None
+        if cfg.get("data_root"):
+            from flashe_tpu.data.store import DataStore
+
+            store = DataStore(cfg["data_root"])
+        if role == "arbiter":
+            out.update(arbiter_pipeline(trv, components, jc))
+        else:
+            res = client_pipeline(trv, components, jc, role,
+                                  cfg.get("ordinal", party_id), store,
+                                  seed=cfg.get("seed", 0))
+            res.pop("_client", None)
+            out.update(res)
+    elif role == "arbiter":
+        param = HomoNNParam.from_dict(cfg["param"])
         comp = HomoNNArbiter(param)
         out["loss_history"] = comp.fit(trv)
     else:
+        param = HomoNNParam.from_dict(cfg["param"])
         data = np.load(cfg["data"])
         cls = HomoNNGuest if role == "guest" else HomoNNHost
         comp = cls(param, seed=cfg.get("seed", 0))
