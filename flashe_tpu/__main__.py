@@ -129,6 +129,22 @@ def cmd_submit_dsl(args) -> int:
     with open(args.config) as f:
         conf = json.load(f)
 
+    if args.server:
+        from flashe_tpu.runtime.client import FlasheClient
+
+        client = FlasheClient(args.server)
+        sub = client.submit_job(dsl, conf)
+        job_id = sub["job_id"]
+        if args.no_wait:
+            print(json.dumps(sub))
+            return 0
+        rec = client.wait_job(job_id)
+        res = client.job_result(job_id)
+        print(json.dumps({"job_id": job_id, "status": rec["status"],
+                          "result": res.get("result")},
+                         indent=None if args.json else 1))
+        return 0 if rec["status"] == "success" else 1
+
     if args.processes:
         from flashe_tpu.runtime.job import submit_dsl_job
 
@@ -233,9 +249,14 @@ def cmd_keygen(args) -> int:
 
 
 def cmd_jobs(args) -> int:
-    from flashe_tpu.runtime.job_manager import default_registry
+    if getattr(args, "server", None):
+        from flashe_tpu.runtime.client import FlasheClient
 
-    rows = default_registry().list_jobs()
+        rows = FlasheClient(args.server).list_jobs()
+    else:
+        from flashe_tpu.runtime.job_manager import default_registry
+
+        rows = default_registry().list_jobs()
     if args.json:
         print(json.dumps(rows))
         return 0
@@ -246,17 +267,61 @@ def cmd_jobs(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from flashe_tpu.runtime.job_manager import default_registry
+    if getattr(args, "server", None):
+        from flashe_tpu.runtime.client import FlasheClient
 
-    print(json.dumps(default_registry().query(args.job_id), indent=1))
+        rec = FlasheClient(args.server).query_job(args.job_id)
+    else:
+        from flashe_tpu.runtime.job_manager import default_registry
+
+        rec = default_registry().query(args.job_id)
+    print(json.dumps(rec, indent=1))
     return 0
 
 
 def cmd_stop(args) -> int:
-    from flashe_tpu.runtime.job_manager import default_registry
+    if getattr(args, "server", None):
+        from flashe_tpu.runtime.client import FlasheClient
 
-    rec = default_registry().stop(args.job_id)
+        rec = FlasheClient(args.server).stop_job(args.job_id)
+    else:
+        from flashe_tpu.runtime.job_manager import default_registry
+
+        rec = default_registry().stop(args.job_id)
     print(json.dumps({"job_id": rec["job_id"], "status": rec["status"]}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from flashe_tpu.runtime.server import serve
+
+    serve(args.host, args.port, force_cpu=args.cpu)
+    return 0
+
+
+def cmd_board(args) -> int:
+    """Terminal dashboard for one job (FATEBoard analogue)."""
+    from flashe_tpu.runtime.board import render_job
+
+    if getattr(args, "server", None):
+        from flashe_tpu.runtime.client import FlasheClient
+
+        client = FlasheClient(args.server)
+        rec = client.query_job(args.job_id)
+        result = client.job_result(args.job_id)
+    else:
+        import os as _os
+
+        from flashe_tpu.runtime.job_manager import default_registry
+
+        reg = default_registry()
+        rec = reg.query(args.job_id)
+        result = None
+        path = _os.path.join(reg.root, args.job_id, "result.json")
+        if _os.path.exists(path):
+            with open(path) as f:
+                result = {"result": json.load(f)}
+    print(render_job(rec, result))
     return 0
 
 
@@ -372,6 +437,11 @@ def main(argv=None) -> int:
                             "federation broker")
     p_dsl.add_argument("--cpu", action="store_true")
     p_dsl.add_argument("--json", action="store_true")
+    p_dsl.add_argument("--server",
+                       help="submit to a running job server "
+                            "(http://host:port) instead of locally")
+    p_dsl.add_argument("--no-wait", action="store_true",
+                       help="with --server: return the job id immediately")
     p_dsl.set_defaults(fn=cmd_submit_dsl)
 
     p_pred = sub.add_parser(
@@ -397,15 +467,33 @@ def main(argv=None) -> int:
 
     p_jobs = sub.add_parser("jobs", help="list submitted jobs")
     p_jobs.add_argument("--json", action="store_true")
+    p_jobs.add_argument("--server", help="query a job server instead of "
+                                         "the local registry")
     p_jobs.set_defaults(fn=cmd_jobs)
 
     p_query = sub.add_parser("query", help="query a job's status")
     p_query.add_argument("-j", "--job-id", required=True)
+    p_query.add_argument("--server")
     p_query.set_defaults(fn=cmd_query)
 
     p_stop = sub.add_parser("stop", help="stop a running job")
     p_stop.add_argument("-j", "--job-id", required=True)
+    p_stop.add_argument("--server")
     p_stop.set_defaults(fn=cmd_stop)
+
+    p_serve = sub.add_parser(
+        "serve", help="run the HTTP job server (fate_flow server analogue)")
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=9380)
+    p_serve.add_argument("--cpu", action="store_true",
+                         help="job executors force the CPU backend")
+    p_serve.set_defaults(fn=cmd_serve)
+
+    p_board = sub.add_parser(
+        "board", help="terminal job dashboard (FATEBoard analogue)")
+    p_board.add_argument("-j", "--job-id", required=True)
+    p_board.add_argument("--server")
+    p_board.set_defaults(fn=cmd_board)
 
     p_logs = sub.add_parser("logs", help="print a job's task logs")
     p_logs.add_argument("-j", "--job-id", required=True)

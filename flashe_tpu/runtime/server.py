@@ -1,0 +1,288 @@
+"""HTTP job server — the fate_flow server analogue.
+
+The reference exposes job orchestration over a Flask HTTP API
+(fate_flow/fate_flow_server.py:57-126; apps: job/data/table/tracking/
+model) that fate_flow_client.py talks to (`-f submit_job/query_job/
+stop_job/upload/...`).  This module reproduces that control surface with
+the stdlib ThreadingHTTPServer — no new dependencies, JSON in/out:
+
+    POST /v1/job/submit    {"dsl": ..., "conf": ...}   -> {"job_id": ...}
+    POST /v1/job/query     {"job_id": ...}             -> registry record
+    POST /v1/job/stop      {"job_id": ...}             -> {"status": ...}
+    GET  /v1/job/list                                  -> [records]
+    GET  /v1/job/result?job_id=                        -> summarized result
+    POST /v1/data/upload   {"namespace","name","csv"}  -> table meta
+    GET  /v1/table/list                                -> [table metas]
+    GET  /v1/model/list?namespace=                     -> versions + bound
+    POST /v1/model/bind    {"namespace","version"}     -> bind record
+    GET  /v1/version                                   -> build info
+
+Jobs run asynchronously in a worker thread (the reference's scheduler
+decouples submission from execution the same way); query/result poll the
+registry.  Cross-party control RPC (the reference's gRPC unaryCall
+through the Java proxy) is not reproduced: parties here join over the
+native federation broker, which carries both control and data planes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import traceback
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from flashe_tpu.runtime.job_manager import JobRegistry, default_registry
+
+__all__ = ["JobServer", "serve", "summarize_result"]
+
+
+def summarize_result(results: dict) -> dict:
+    """JSON-safe summary of per-role job outputs (loss curves, metrics,
+    phase profiles) for the tracking/result endpoints and the board."""
+    out = {}
+    for key, res in results.items():
+        if key == "__job__":
+            out["job"] = res
+            continue
+        if not isinstance(res, dict):
+            continue
+        role_out = {}
+        for comp, val in res.items():
+            if not isinstance(val, dict):
+                continue
+            if "loss_history" in val:
+                role_out[comp] = {"loss_history": [
+                    float(v) for v in val["loss_history"]]}
+            elif "history" in val:
+                role_out[comp] = {"history": [
+                    {k: (float(v) if isinstance(v, (int, float)) else v)
+                     for k, v in h.items()} for h in val["history"]]}
+            elif "accuracy" in val:  # evaluation metrics
+                role_out[comp] = {
+                    k: (float(v) if isinstance(v, (int, float)) else v)
+                    for k, v in val.items()}
+        if "phases" in res:
+            role_out["phases"] = {
+                k: {"total_s": float(v["total_s"]), "count": v["count"]}
+                for k, v in res["phases"].items()}
+        if res.get("transfer_stats"):
+            role_out["transfer_stats"] = res["transfer_stats"]
+        if "loss_history" in res:  # non-DSL arbiter output
+            role_out["loss_history"] = [float(v)
+                                        for v in res["loss_history"]]
+        out[key] = role_out
+    return out
+
+
+class JobServer:
+    """Serves the job API; submissions execute on worker threads."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 9380,
+                 registry: Optional[JobRegistry] = None,
+                 force_cpu: bool = False):
+        self.registry = registry or default_registry()
+        self.force_cpu = force_cpu
+        self._threads = {}
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _reply(self, code: int, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                if not n:
+                    return {}
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self):
+                try:
+                    url = urlparse(self.path)
+                    q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                    self._reply(200, server.handle_get(url.path, q))
+                except KeyError as e:
+                    self._reply(404, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 - API boundary
+                    self._reply(500, {"error": str(e),
+                                      "trace": traceback.format_exc()})
+
+            def do_POST(self):
+                try:
+                    url = urlparse(self.path)
+                    self._reply(200, server.handle_post(url.path,
+                                                        self._body()))
+                except KeyError as e:
+                    self._reply(404, {"error": str(e)})
+                except ValueError as e:
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 - API boundary
+                    self._reply(500, {"error": str(e),
+                                      "trace": traceback.format_exc()})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self._serve_thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self):
+        return self.httpd.server_address
+
+    # ------------------------------------------------------------ routing
+
+    def handle_get(self, path: str, q: dict):
+        if path == "/v1/version":
+            import flashe_tpu
+
+            return {"name": "flashe_tpu",
+                    "version": getattr(flashe_tpu, "__version__", "0")}
+        if path == "/v1/job/list":
+            return self.registry.list_jobs()
+        if path == "/v1/job/result":
+            return self._load_result(q["job_id"])
+        if path == "/v1/table/list":
+            from flashe_tpu.data.store import default_store
+
+            return default_store().list_tables()
+        if path == "/v1/model/list":
+            from flashe_tpu.runtime.model_manager import (
+                default_model_manager,
+            )
+
+            mm = default_model_manager()
+            ns = q["namespace"]
+            return {"versions": mm.list_versions(ns),
+                    "bound": mm.bound_version(ns)}
+        raise KeyError(f"no route GET {path}")
+
+    def handle_post(self, path: str, body: dict):
+        if path == "/v1/job/submit":
+            return self._submit(body)
+        if path == "/v1/job/query":
+            return self.registry.query(body["job_id"])
+        if path == "/v1/job/stop":
+            rec = self.registry.stop(body["job_id"])
+            return {"job_id": rec["job_id"], "status": rec["status"]}
+        if path == "/v1/data/upload":
+            return self._upload(body)
+        if path == "/v1/model/bind":
+            from flashe_tpu.runtime.model_manager import (
+                default_model_manager,
+            )
+
+            return default_model_manager().bind(body["namespace"],
+                                                body["version"])
+        raise KeyError(f"no route POST {path}")
+
+    # ------------------------------------------------------------ actions
+
+    def _result_path(self, job_id: str) -> str:
+        return os.path.join(self.registry.root, job_id, "result.json")
+
+    def _load_result(self, job_id: str) -> dict:
+        rec = self.registry.query(job_id)  # raises KeyError if unknown
+        path = self._result_path(job_id)
+        if not os.path.exists(path):
+            return {"job_id": job_id, "status": rec["status"],
+                    "result": None}
+        with open(path) as f:
+            return {"job_id": job_id, "status": rec["status"],
+                    "result": json.load(f)}
+
+    def _submit(self, body: dict) -> dict:
+        if "dsl" not in body or "conf" not in body:
+            raise ValueError("submit body needs 'dsl' and 'conf'")
+        from flashe_tpu.runtime.dsl import JobConf, parse_dsl
+
+        parse_dsl(body["dsl"])  # validate synchronously: bad DSL -> 400
+        jc = JobConf.parse(body["conf"])
+        job_id = uuid.uuid4().hex[:12]
+        # create the record BEFORE returning, so an immediate query works
+        # (submit_dsl_job re-creates it with the full metadata)
+        self.registry.create(job_id, {"n_hosts": jc.n_hosts,
+                                      "queued": True})
+
+        def run():
+            from flashe_tpu.runtime.job import submit_dsl_job
+
+            env = {"FLASHE_FORCE_CPU": "1"} if self.force_cpu else None
+            try:
+                results = submit_dsl_job(
+                    body["dsl"], body["conf"], registry=self.registry,
+                    job_id=job_id, env_overrides=env,
+                    timeout=float(body.get("timeout", 900.0)))
+            except Exception as e:  # noqa: BLE001 - record terminal state
+                try:
+                    if self.registry.query(job_id)["status"] == "running":
+                        self.registry.finish(job_id, "failed", str(e))
+                except KeyError:
+                    pass
+                return
+            with open(self._result_path(job_id), "w") as f:
+                json.dump(summarize_result(results), f)
+
+        t = threading.Thread(target=run, name=f"job-{job_id}", daemon=True)
+        self._threads[job_id] = t
+        t.start()
+        return {"job_id": job_id, "status": "running"}
+
+    def _upload(self, body: dict) -> dict:
+        import numpy as np
+
+        from flashe_tpu.data.io import read_dense_csv
+        from flashe_tpu.data.store import default_store
+
+        store = default_store()
+        if "csv" in body:  # inline CSV text
+            import io as _io
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(
+                    "w", suffix=".csv", delete=False) as f:
+                f.write(body["csv"])
+                path = f.name
+        else:
+            path = body["path"]
+        label_index = body.get("label_index", 0)
+        x, y = read_dense_csv(
+            path, label_index=None if body.get("unlabeled") else label_index,
+            has_header=body.get("has_header", True))
+        return store.put(body["namespace"], body["name"],
+                         np.asarray(x), y,
+                         partition=int(body.get("partition", 1)))
+
+    # ----------------------------------------------------------- lifecycle
+
+    def start(self):
+        self._serve_thread = threading.Thread(
+            target=self.httpd.serve_forever, name="flashe-http",
+            daemon=True)
+        self._serve_thread.start()
+        return self
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def serve(host: str = "127.0.0.1", port: int = 9380,
+          force_cpu: bool = False):
+    """Run the job server in the foreground (the `serve` CLI command)."""
+    server = JobServer(host, port, force_cpu=force_cpu)
+    print(f"flashe_tpu job server on http://{host}:{port}")
+    try:
+        server.httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
