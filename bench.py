@@ -29,7 +29,12 @@ def main():
                     help="gradient vector length (default 4M)")
     ap.add_argument("--clients", type=int, default=10)
     ap.add_argument("--int-bits", type=int, default=20)
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=20,
+                    help="timing reps per phase; all reps are dispatched "
+                         "back-to-back and blocked once, so higher values "
+                         "amortize the per-call host->device dispatch "
+                         "latency (large through the remote-TPU tunnel: "
+                         "~5-10 ms/call, comparable to the kernels)")
     ap.add_argument("--impl", choices=["auto", "xla", "pallas"],
                     default="auto",
                     help="encrypt/decrypt kernel implementation (auto = "
@@ -45,10 +50,15 @@ def main():
                          "alone don't override the platform)")
     args = ap.parse_args()
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the fused Pallas kernels take 1-3 min
+    # to compile through the remote-TPU toolchain; caching makes repeated
+    # bench runs (and driver rounds) start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/flashe_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.mode != "flashe":
         run_extra_mode(args)
@@ -103,9 +113,14 @@ def main():
 
     decrypt = jax.jit(dec_one)
 
-    rng = np.random.RandomState(0)
-    q = jnp.asarray(
-        rng.randint(0, 1 << 16, (c, n), dtype=np.int64).astype(np.uint32))
+    # generate plaintexts ON DEVICE: uploading (clients, n) uint32 through
+    # a remote-TPU tunnel costs minutes; a threefry draw costs nothing
+    @jax.jit
+    def make_q(key):
+        return jax.random.randint(key, (c, n), 0, 1 << 16,
+                                  dtype=jnp.uint32)
+
+    q = make_q(jax.random.PRNGKey(0))
     iters = [jnp.asarray(r, jnp.int32) for r in range(args.reps + 1)]
 
     def round_fn(it):
@@ -115,10 +130,14 @@ def main():
     out = round_fn(iters[0])
     out.block_until_ready()
 
-    # correctness guard: decrypted aggregate == mod-2^m sum
-    want = np.asarray(q, np.int64).sum(axis=0) % (1 << m)
-    got = np.asarray(out, np.int64)
-    assert np.array_equal(got[:4096], want[:4096]), "round mismatch"
+    # correctness guard: decrypted aggregate == mod-2^m sum, checked on
+    # device (fetching the full vector through the tunnel is minutes)
+    @jax.jit
+    def check(out, q):
+        want = jnp.sum(q, axis=0, dtype=jnp.uint32) & mask
+        return jnp.all(out == want)
+
+    assert bool(check(out, q)), "round mismatch"
 
     # timed phases: all reps (fresh iter index each, to dodge caching
     # artifacts) are launched back-to-back and blocked ONCE, so per-call
