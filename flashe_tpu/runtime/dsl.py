@@ -229,13 +229,35 @@ def _dataio(comp: ComponentSpec, conf: JobConf, role: str, ordinal: int,
     return x, y
 
 
+def _resolve_model_version(mm, namespace: str, version: Optional[str]):
+    if version:
+        return version
+    bound = mm.bound_version(namespace)
+    if bound:
+        return bound
+    versions = mm.list_versions(namespace)
+    if not versions:
+        raise KeyError(f"no stored models in namespace {namespace!r}")
+    return versions[-1]["version"]
+
+
 def client_pipeline(trv, components: List[ComponentSpec], conf: JobConf,
                     role: str, ordinal: int, store=None,
                     seed: int = 0) -> dict:
-    """One client party's walk of the component DAG."""
+    """One client party's walk of the component DAG.
+
+    job_parameters.job_type selects train (default) or predict; predict
+    loads the model from the model store ({"model": {"namespace",
+    "version"?}}) and scores the DataIO tables locally (the reference's
+    predict DSL flow, enter_point.py:218-260).  A train job with
+    job_parameters.publish registers the guest's final model under that
+    namespace (version = job id semantics are the caller's).
+    """
     from flashe_tpu.nn.evaluation import evaluate_classification
     from flashe_tpu.nn.homo_nn import HomoNNGuest, HomoNNHost
 
+    jp = conf.job_parameters
+    job_type = jp.get("job_type", "train")
     ctx: Dict[str, Any] = {}
     out: Dict[str, Any] = {"role": role, "ordinal": ordinal}
     for comp in components:
@@ -257,31 +279,75 @@ def client_pipeline(trv, components: List[ComponentSpec], conf: JobConf,
                 x = np.asarray(x)
                 y = x[:, 1:].astype(np.int64)
                 x = x[:, :-1]
-            if y is None:
-                raise ValueError(f"{comp.name}: training needs labels")
             cls = HomoNNGuest if role == "guest" else HomoNNHost
             client = cls(param, seed=seed)
-            client.fit(trv, x, y)
-            scores = client.predict(x)
+            if job_type == "predict":
+                from flashe_tpu.runtime.model_manager import (
+                    default_model_manager,
+                )
+
+                model_ref = jp.get("model") or {}
+                if "namespace" not in model_ref:
+                    raise ValueError(
+                        "predict jobs need job_parameters.model.namespace")
+                mm = default_model_manager()
+                ns = model_ref["namespace"]
+                ver = _resolve_model_version(mm, ns,
+                                             model_ref.get("version"))
+                client.load_model(mm.checkpoint_path(ns, ver), x[:1])
+                scores = client.predict(x)
+                out[comp.name] = {"model": {"namespace": ns,
+                                            "version": ver},
+                                  "aggregate_iter": client.aggregate_iter,
+                                  "n": int(len(x))}
+            else:
+                if y is None:
+                    raise ValueError(f"{comp.name}: training needs labels")
+                client.fit(trv, x, y)
+                scores = client.predict(x)
+                out[comp.name] = {"history": client.history}
+                if role == "guest" and jp.get("publish"):
+                    import tempfile
+
+                    from flashe_tpu.runtime.checkpoint import (
+                        save_checkpoint,
+                    )
+                    from flashe_tpu.runtime.model_manager import (
+                        default_model_manager,
+                    )
+
+                    with tempfile.NamedTemporaryFile(
+                            suffix=".ckpt", delete=False) as tf:
+                        ckpt = tf.name
+                    save_checkpoint(ckpt, client.trainer.params,
+                                    client.aggregate_iter,
+                                    quantizer_stats={})
+                    meta = default_model_manager().publish_checkpoint(
+                        jp["publish"], jp.get("model_version", "v1"),
+                        ckpt, param_dict=param.to_dict())
+                    out[comp.name]["published"] = meta
             for slot in comp.data_outputs or ["train"]:
                 ctx[f"{comp.name}.{slot}"] = (y, scores)
-            out[comp.name] = {"history": client.history}
             out["_client"] = client
         elif comp.module == "Evaluation":
             refs = comp.data_inputs.get("data", [])
             if not refs:
                 raise ValueError(f"{comp.name}: no data input")
             y, scores = ctx[refs[0]]
-            out[comp.name] = evaluate_classification(y, scores)
+            if y is not None:
+                out[comp.name] = evaluate_classification(y, scores)
     return out
 
 
 def arbiter_pipeline(trv, components: List[ComponentSpec],
                      conf: JobConf) -> dict:
-    """The arbiter only participates in training components."""
+    """The arbiter only participates in training components (predict jobs
+    run party-local, enter_point.py:218-260 — no aggregation)."""
     from flashe_tpu.nn.homo_nn import HomoNNArbiter
 
     out: Dict[str, Any] = {"role": "arbiter"}
+    if conf.job_parameters.get("job_type", "train") == "predict":
+        return out
     for comp in components:
         if comp.module in ("JZFHomoNN", "HomoNN"):
             ap = conf.component_param(comp.name, "arbiter", 0)

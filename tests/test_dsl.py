@@ -329,6 +329,34 @@ def test_run_dsl_job_lstm_create_label(tmp_path):
     assert 0.0 <= res["guest"]["evaluation_0"]["accuracy"] <= 1.0
 
 
+def test_train_publish_then_predict_job(tmp_path, monkeypatch):
+    """job_parameters.publish registers the guest model; a follow-up
+    job_type=predict DSL job loads and scores with it
+    (reference predict flow, enter_point.py:218-260)."""
+    monkeypatch.setenv("FLASHE_MODELS_DIR", str(tmp_path / "models"))
+    store, tables = seed_store(tmp_path, n_parties=2)
+    conf = make_conf(tables, {
+        "model": "mlp", "model_kwargs": {"features": [8, 3]},
+        "batch_size": 16, "max_iter": 1,
+        "optimizer": {"optimizer": "Adam", "learning_rate": 0.01},
+        "secure_aggregate": "plain",
+    })
+    conf["job_parameters"] = {"job_type": "train", "publish": "dslmodel",
+                              "model_version": "job42"}
+    res = run_dsl_job(DSL, conf, store=store)
+    pub = res["guest"]["homo_nn_0"]["published"]
+    assert pub["namespace"] == "dslmodel" and pub["version"] == "job42"
+
+    conf_pred = make_conf(tables, conf["algorithm_parameters"]["homo_nn_0"])
+    conf_pred["job_parameters"] = {"job_type": "predict",
+                                   "model": {"namespace": "dslmodel"}}
+    res2 = run_dsl_job(DSL, conf_pred, store=store)
+    assert res2["guest"]["homo_nn_0"]["model"]["version"] == "job42"
+    assert "loss_history" not in res2["arbiter"].get("homo_nn_0", {})
+    assert 0.0 <= res2["guest"]["evaluation_0"]["accuracy"] <= 1.0
+    assert 0.0 <= res2["host0"]["evaluation_0"]["accuracy"] <= 1.0
+
+
 @pytest.mark.slow
 def test_submit_dsl_job_processes(tmp_path):
     """One OS process per party over the native broker (fate_flow shape)."""
