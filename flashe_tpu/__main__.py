@@ -245,6 +245,76 @@ def cmd_keygen(args) -> int:
     return 0
 
 
+# -- multi-host cluster deployment (deployment/ analogue) --------------------
+
+
+def cmd_broker(args) -> int:
+    """Run the federation exchange standalone (proxy/route-table analogue)."""
+    from flashe_tpu.runtime.cluster import run_broker
+
+    run_broker(args.host, args.port,
+               native=False if args.python else "auto")
+    return 0
+
+
+def cmd_party(args) -> int:
+    """Join a cluster job as one party from this machine."""
+    if args.cpu:
+        os.environ["FLASHE_FORCE_CPU"] = "1"
+    host, _, port = args.broker.rpartition(":")
+    if not host:
+        print("party: --broker must be host:port", file=sys.stderr)
+        return 2
+
+    from flashe_tpu.runtime.cluster import build_party_cfg, run_party
+
+    dsl = conf = param = None
+    n_hosts = None
+    data = args.data
+    if args.dsl:
+        with open(args.dsl) as f:
+            dsl = json.load(f)
+        with open(args.config) as f:
+            conf = json.load(f)
+    else:
+        with open(args.config) as f:
+            job_cfg = json.load(f)
+        param = job_cfg["param"]
+        n_hosts = int(job_cfg.get("n_clients", 3)) - 1
+        if data and data.endswith(".csv") and args.role != "arbiter":
+            import tempfile
+
+            import numpy as np
+
+            from flashe_tpu.data.io import read_dense_csv
+
+            x, y = read_dense_csv(data)
+            data = os.path.join(tempfile.mkdtemp(prefix="flashe_party_"),
+                                "data.npz")
+            np.savez(data, x=x, y=y)
+
+    cfg = build_party_cfg(
+        args.role, args.party_id, (host, int(port)), args.job_id,
+        dsl=dsl, conf=conf, param=param, n_hosts=n_hosts, data=data,
+        data_root=args.data_root, out=args.out,
+        checkpoint=args.checkpoint)
+    out = run_party(cfg)
+    brief = {k: v for k, v in out.items()
+             if k in ("role", "party_id", "loss_history")}
+    brief["out"] = cfg["out"]
+    print(json.dumps(brief, default=str))
+    return 0
+
+
+def cmd_cluster(args) -> int:
+    from flashe_tpu.runtime.cluster import main as cluster_main
+
+    argv = ["-c", args.config, "--timeout", str(args.timeout)]
+    argv.append("--plan" if args.plan
+                else "--run-local" if args.run_local else "--run")
+    return cluster_main(argv)
+
+
 # -- job management (fate_flow_client -f query_job/stop_job analogues) ------
 
 
@@ -464,6 +534,58 @@ def main(argv=None) -> int:
     p_key = sub.add_parser("keygen",
                            help="generate a fresh 256-bit PRP seed (hex)")
     p_key.set_defaults(fn=cmd_keygen)
+
+    p_broker = sub.add_parser(
+        "broker", help="run the federation exchange standalone "
+                       "(one per cluster; parties dial it)")
+    p_broker.add_argument("--host", default="0.0.0.0")
+    p_broker.add_argument("--port", type=int, default=9370,
+                          help="0 = ephemeral (the bound port is printed)")
+    p_broker.add_argument("--python", action="store_true",
+                          help="force the pure-Python broker instead of "
+                               "the native C++ one")
+    p_broker.set_defaults(fn=cmd_broker)
+
+    p_party = sub.add_parser(
+        "party", help="join a multi-host job as one party "
+                      "(run on each silo's machine)")
+    p_party.add_argument("--broker", required=True, help="host:port of the "
+                                                         "running broker")
+    p_party.add_argument("--role", required=True,
+                         choices=["guest", "host", "arbiter"])
+    p_party.add_argument("--party-id", type=int, default=0,
+                         help="host ordinal 0..n_hosts-1 (guest/arbiter: 0)")
+    p_party.add_argument("--job-id", required=True,
+                         help="shared across all parties of one job")
+    p_party.add_argument("-d", "--dsl",
+                         help="DSL JSON (DSL job; omit for a param job)")
+    p_party.add_argument("-c", "--config", required=True,
+                         help="job conf JSON (DSL) or job config with "
+                              "'param' (param job)")
+    p_party.add_argument("--data", help="param jobs: this party's local "
+                                        "training data (.npz x/y or .csv)")
+    p_party.add_argument("--data-root",
+                         help="DSL jobs: local dataset-store root the "
+                              "DataIO component reads from")
+    p_party.add_argument("--out", help="output pickle path")
+    p_party.add_argument("--checkpoint", help="param jobs: save the final "
+                                              "local model here")
+    p_party.add_argument("--cpu", action="store_true")
+    p_party.set_defaults(fn=cmd_party)
+
+    p_cluster = sub.add_parser(
+        "cluster", help="expand/run a multi-host cluster conf "
+                        "(deploy/cluster_conf.yml)")
+    p_cluster.add_argument("-c", "--config", required=True)
+    cl_mode = p_cluster.add_mutually_exclusive_group(required=True)
+    cl_mode.add_argument("--plan", action="store_true",
+                         help="print per-machine commands")
+    cl_mode.add_argument("--run", action="store_true",
+                         help="execute through the conf's runner template")
+    cl_mode.add_argument("--run-local", action="store_true",
+                         help="validate the conf on this machine")
+    p_cluster.add_argument("--timeout", type=float, default=900.0)
+    p_cluster.set_defaults(fn=cmd_cluster)
 
     p_jobs = sub.add_parser("jobs", help="list submitted jobs")
     p_jobs.add_argument("--json", action="store_true")
