@@ -107,10 +107,23 @@ class JobServer:
                     return {}
                 return json.loads(self.rfile.read(n) or b"{}")
 
+            def _reply_html(self, code: int, text: str):
+                body = text.encode()
+                self.send_response(code)
+                self.send_header("Content-Type",
+                                 "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
                 try:
                     url = urlparse(self.path)
                     q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                    page = server.handle_board(url.path)
+                    if page is not None:
+                        self._reply_html(200, page)
+                        return
                     self._reply(200, server.handle_get(url.path, q))
                 except KeyError as e:
                     self._reply(404, {"error": str(e)})
@@ -139,6 +152,22 @@ class JobServer:
         return self.httpd.server_address
 
     # ------------------------------------------------------------ routing
+
+    def handle_board(self, path: str) -> Optional[str]:
+        """HTML views (FATEBoard analogue; see runtime/webboard.py).
+        Returns None for non-board paths so JSON routing proceeds."""
+        from flashe_tpu.runtime import webboard
+
+        if path in ("/", "/board", "/board/"):
+            return webboard.render_index_html(self.registry.list_jobs())
+        if path.startswith("/board/"):
+            job_id = path[len("/board/"):].strip("/")
+            rec = self.registry.query(job_id)  # KeyError -> 404
+            result = None
+            if os.path.exists(self._result_path(job_id)):
+                result = self._load_result(job_id)
+            return webboard.render_job_html(rec, result)
+        return None
 
     def handle_get(self, path: str, q: dict):
         if path == "/v1/version":

@@ -110,6 +110,56 @@ def test_submit_job_roundtrip_and_board(server, tmp_path):
     assert job_id in text and "loss" in text and "evaluation:" in text
 
 
+def test_web_board_routes(server):
+    """HTML board (webboard.py) served from `/` and `/board/<id>`."""
+    import urllib.error
+    import urllib.request
+
+    client, srv, reg = server
+    base = f"http://{srv.address[0]}:{srv.address[1]}"
+    page = urllib.request.urlopen(f"{base}/", timeout=10)
+    assert page.headers["Content-Type"].startswith("text/html")
+    text = page.read().decode()
+    assert "flashe-tpu jobs" in text and "no jobs yet" in text
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{base}/board/nope", timeout=10)
+    assert e.value.code == 404
+
+    reg.create("boardjob", {})
+    reg.set_task("boardjob", "guest_0", pid=11, status="running")
+    text = urllib.request.urlopen(
+        f"{base}/board/boardjob", timeout=10).read().decode()
+    assert "job boardjob" in text and "guest_0" in text
+    # job list links to the job page and auto-refreshes while running
+    idx = urllib.request.urlopen(f"{base}/board", timeout=10).read().decode()
+    assert "/board/boardjob" in idx
+
+
+def test_web_board_rendering():
+    """Chart/eval/transfer cards render from a full result summary."""
+    from flashe_tpu.runtime import webboard
+
+    rec = {"job_id": "j1", "status": "success", "created": None,
+           "updated": None,
+           "tasks": {"guest_0": {"status": "success", "pid": 1}}}
+    result = {"result": {
+        "guest_0": {"loss_history": [2.0, 1.5, 1.0],
+                    "phases": {"encryption": {"total_s": 1.0, "count": 3}},
+                    "transfer_stats": {"upload_model": {
+                        "sent_msgs": 3, "sent_bytes": 999,
+                        "recv_msgs": 0, "recv_bytes": 0}},
+                    "evaluation_0": {"accuracy": 0.9, "auc": 0.95}},
+        "host_0": {"loss_history": [2.1, 1.6]},
+    }}
+    page = webboard.render_job_html(rec, result)
+    for expected in ("<svg", "loss per round", "phase profile",
+                     "evaluation", "upload_model", "table view"):
+        assert expected in page, expected
+    # ragged series must not break the table fallback
+    assert "<td>-</td>" in page
+
+
 def test_board_sparkline_and_summary():
     assert sparkline([]) == ""
     s = sparkline([3.0, 2.0, 1.0])
