@@ -70,8 +70,21 @@ class HomoNNClient:
             agg_flat = agg.aggregate_then_get(
                 flat, iter_index=it, before=flat_before, degree=degree,
                 suffix=(it,))
-            self.trainer.set_model_weights(self.codec.unflatten(agg_flat))
-            flat_before = agg_flat
+            if agg_flat is not None:
+                self.trainer.set_model_weights(self.codec.unflatten(agg_flat))
+                flat_before = agg_flat
+
+            if agg_flat is None or agg.was_dropped:
+                # dropped this round (missed the upload deadline): the
+                # arbiter still shipped the survivors' aggregate (installed
+                # above — required to keep quantizer statistics in sync),
+                # but will not collect this client's loss; stay in
+                # lockstep via the convergence broadcast and rejoin at the
+                # next iteration
+                agg.get_converge_status(suffix=(it, "conv"))
+                tracker().callback_metric("dropped", it, 1.0)
+                self.aggregate_iter = it + 1
+                continue
 
             loss, acc = self.trainer.evaluate(x, y)
             agg.send_loss(loss * degree, degree=degree, suffix=(it,))

@@ -28,7 +28,7 @@ from flashe_tpu.ops.lanes import lane_add, lane_sub
 from flashe_tpu.ops.masks import merge_size, prp_lane_stream
 
 __all__ = ["make_mesh", "padded_lane_count", "encrypted_aggregate",
-           "encrypt_shard", "decrypt_shard"]
+           "encrypt_shard", "decrypt_shard", "decrypt_shard_runs"]
 
 
 def make_mesh(n_clients_axis: int, n_lane_shards: int,
@@ -100,17 +100,57 @@ def decrypt_shard(rk, agg_shard, iter_index, num_clients, shard_id, int_bits,
     return lane_sub(lane_add(agg_shard, add, int_bits), minus, int_bits)
 
 
+def decrypt_shard_runs(rk, agg_shard, iter_index, adds, minuses, shard_id,
+                       int_bits, use_circuit=True, fused=None):
+    """Decrypt an aggregated lane shard given run-merged telescope
+    boundaries (dropout path: `adds`/`minuses` from
+    crypto.flashe.merge_idx_runs over the survivor idx list,
+    reference jzf_flashe.py:354-386).  adds/minuses are static tuples."""
+    n = agg_shard.shape[0]
+    merge = merge_size(int_bits)
+    begin = shard_id * (n // merge)
+    if fused is None:
+        fused = _fused_default()
+    out = agg_shard
+    adds, minuses = list(adds), list(minuses)
+    if fused:
+        from flashe_tpu.ops.pallas_flashe import pallas_mask_apply
+
+        npairs = min(len(adds), len(minuses))
+        for a, b in zip(adds[:npairs], minuses[:npairs]):
+            out = pallas_mask_apply(out, rk, iter_index, a, b, int_bits,
+                                    base_block=begin)
+        adds, minuses = adds[npairs:], minuses[npairs:]
+    for a in adds:
+        stream = prp_lane_stream(rk, iter_index, a, n, int_bits,
+                                 begin_block=begin, use_circuit=use_circuit)
+        out = lane_add(out, stream, int_bits)
+    for b in minuses:
+        stream = prp_lane_stream(rk, iter_index, b, n, int_bits,
+                                 begin_block=begin, use_circuit=use_circuit)
+        out = lane_sub(out, stream, int_bits)
+    return out
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "int_bits", "num_clients", "use_circuit"),
+    static_argnames=("mesh", "int_bits", "num_clients", "use_circuit",
+                     "survivors"),
 )
 def encrypted_aggregate(mesh: Mesh, rk, q, iter_index, int_bits: int,
-                        num_clients: int, use_circuit: bool = True):
+                        num_clients: int, use_circuit: bool = True,
+                        survivors: tuple | None = None):
     """One encrypted-aggregation round on a mesh.
 
     q: (num_clients, N) uint32 quantized lanes, N divisible by
     merge_size * mesh lane shards (use padded_lane_count).  Returns the
     decrypted mod-2^m sum, (N,), sharded over the lane axis.
+
+    survivors: optional static tuple of client indices that completed the
+    round (dropout); non-survivors' ciphertexts are zeroed before the
+    psum (removing both their value and their masks — the mesh analogue
+    of the arbiter never receiving the upload) and decryption uses the
+    run-merged survivor boundaries instead of (num_clients, 0).
 
     int_bits <= 32 only (single-limb lanes psum exactly when
     num_clients * 2^int_bits <= 2^32; asserted).
@@ -119,17 +159,31 @@ def encrypted_aggregate(mesh: Mesh, rk, q, iter_index, int_bits: int,
         raise ValueError("num_clients * 2^int_bits must fit in uint32 psum")
     n_shards = mesh.shape["lanes"]
 
+    if survivors is not None:
+        from flashe_tpu.crypto.flashe import merge_idx_runs
+
+        adds, minuses = merge_idx_runs(list(survivors))
+        adds, minuses = tuple(adds), tuple(minuses)
+
     def worker(rk, q_block):
         c = jax.lax.axis_index("clients")
         s = jax.lax.axis_index("lanes")
         qb = q_block[0]  # (shard_lanes,)
         ct = encrypt_shard(rk, qb, iter_index, c, s, int_bits, use_circuit)
+        if survivors is not None:
+            alive = functools.reduce(
+                jnp.logical_or, [c == i for i in survivors])
+            ct = jnp.where(alive, ct, jnp.zeros_like(ct))
         agg = jax.lax.psum(ct, "clients")
         m = np.uint32((1 << int_bits) - 1) if int_bits < 32 else np.uint32(
             0xFFFFFFFF)
         agg = agg & m
-        out = decrypt_shard(rk, agg, iter_index, num_clients, s, int_bits,
-                            use_circuit)
+        if survivors is None:
+            out = decrypt_shard(rk, agg, iter_index, num_clients, s,
+                                int_bits, use_circuit)
+        else:
+            out = decrypt_shard_runs(rk, agg, iter_index, adds, minuses, s,
+                                     int_bits, use_circuit)
         return out[None, :]
 
     fn = shard_map(

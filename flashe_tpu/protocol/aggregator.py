@@ -41,7 +41,34 @@ from flashe_tpu.protocol.sparsify import (
 )
 from flashe_tpu.runtime.tracking import phase
 
-__all__ = ["Arbiter", "Client", "Guest", "Host", "with_role", "LossPayload"]
+__all__ = ["Arbiter", "Client", "Guest", "Host", "with_role", "LossPayload",
+           "is_dropped_marker"]
+
+_DROPPED_KEY = "__flashe_dropped__"
+
+
+def _dropped_marker(iter_index, payload=None) -> dict:
+    """Control frame sent to a host that missed the upload deadline.
+
+    The reference drops a party by silence (the arbiter simply re-requests
+    or stalls, jzf_aggregator.py:314-361); here the arbiter answers every
+    channel the slow host blocks on, so a slow-but-alive host unblocks
+    immediately and rejoins at round r+1 (the arbiter re-collects from all
+    registered hosts every round).
+
+    The frame carries the aggregated payload when available: FLASHE
+    decryption needs only the survivor idx-list, so a dropped host can
+    still install the survivors' global model.  That is not a courtesy —
+    it is required for rejoining: the secure quantizer derives each
+    round's clip threshold from running statistics of the previous global
+    model (jzf_quantize.py:394-424), and a host that skipped a global
+    update would quantize its next upload on a different alpha scale,
+    corrupting the aggregate for every participant."""
+    return {_DROPPED_KEY: int(iter_index), "payload": payload}
+
+
+def is_dropped_marker(obj) -> bool:
+    return isinstance(obj, dict) and _DROPPED_KEY in obj
 
 
 class LossPayload:
@@ -120,27 +147,53 @@ class Arbiter:
         mode = self.secure_aggregate_args.get("mode", "parallel")
         nparts = self.secure_aggregate_args.get("num_partitions", 1)
         payloads = []
+        self.dropped_hosts = []
 
         if mode == "parallel" and nparts > 1:
-            parts_per_client = None
+            # per-partition barrier with per-host deadlines: a host that
+            # misses its slot for any partition is dropped for the round
+            # (its earlier parts are discarded) and notified on the
+            # upload_result channel it blocks on next
+            timeout = self.secure_aggregate_args.get("upload_timeout_s")
+            guest_parts = []
+            host_parts = {h: [] for h in range(self.num_hosts)}
             for p in range(nparts):
                 t.arbiter_to_guest.remote(obj="allow_upload", role=consts.GUEST,
                                           idx=0, suffix=suffix + ("allow_upload", p))
-                t.arbiter_to_host.remote(obj="allow_upload", role=consts.HOST,
-                                         idx=-1, suffix=suffix + ("allow_upload", p))
-                m = t.guest_to_arbiter.get(idx=0, suffix=suffix + ("upload_model", p))
-                ms = t.host_to_arbiter.get(idx=-1, suffix=suffix + ("upload_model", p))
-                if parts_per_client is None:
-                    parts_per_client = [[m]] + [[x] for x in ms]
-                else:
-                    parts_per_client[0].append(m)
-                    for i, x in enumerate(ms):
-                        parts_per_client[i + 1].append(x)
+                for h in range(self.num_hosts):
+                    if h in self.dropped_hosts:
+                        continue
+                    t.arbiter_to_host.remote(
+                        obj="allow_upload", role=consts.HOST, idx=h,
+                        suffix=suffix + ("allow_upload", p))
+                guest_parts.append(
+                    t.guest_to_arbiter.get(idx=0, suffix=suffix + ("upload_model", p)))
+                for h in range(self.num_hosts):
+                    if h in self.dropped_hosts:
+                        continue
+                    try:
+                        host_parts[h].append(t.host_to_arbiter.get(
+                            idx=h, suffix=suffix + ("upload_model", p),
+                            timeout=timeout if timeout else 600.0))
+                    except TimeoutError:
+                        if not timeout:
+                            raise
+                        self.dropped_hosts.append(h)
+                        host_parts.pop(h)
+                        t.arbiter_to_host.remote(
+                            obj=_dropped_marker(p), role=consts.HOST, idx=h,
+                            suffix=suffix + ("upload_result", p))
                 t.arbiter_to_guest.remote(obj="finish", role=consts.GUEST,
                                           idx=0, suffix=suffix + ("upload_result", p))
-                t.arbiter_to_host.remote(obj="finish", role=consts.HOST,
-                                         idx=-1, suffix=suffix + ("upload_result", p))
-            payloads = [merge_lane_parts(parts) for parts in parts_per_client]
+                for h in range(self.num_hosts):
+                    if h in self.dropped_hosts:
+                        continue
+                    t.arbiter_to_host.remote(
+                        obj="finish", role=consts.HOST, idx=h,
+                        suffix=suffix + ("upload_result", p))
+            payloads = [merge_lane_parts(guest_parts)] + [
+                merge_lane_parts(host_parts[h])
+                for h in range(self.num_hosts) if h not in self.dropped_hosts]
         elif mode == "parallel":
             # optional dropout tolerance: a host that misses the upload
             # deadline is dropped from this round; FLASHE's double masking
@@ -149,7 +202,6 @@ class Arbiter:
             timeout = self.secure_aggregate_args.get("upload_timeout_s")
             payloads.append(
                 t.guest_to_arbiter.get(idx=0, suffix=suffix + ("upload_model", 0)))
-            self.dropped_hosts = []
             for h in range(self.num_hosts):
                 try:
                     payloads.append(t.host_to_arbiter.get(
@@ -255,6 +307,7 @@ class Arbiter:
         mode = self.secure_aggregate_args.get("mode", "parallel")
         nparts = self.secure_aggregate_args.get("num_partitions", 1)
 
+        dropped = getattr(self, "dropped_hosts", [])
         with phase("dispatch"):
             if mode == "parallel" and nparts > 1:
                 parts = partition_lanes(model, nparts)
@@ -264,20 +317,34 @@ class Arbiter:
                     part.n_elements = model.n_elements
                     t.arbiter_to_guest.remote(part, role=consts.GUEST, idx=0,
                                               suffix=suffix + ("agg_model", p))
-                    t.arbiter_to_host.remote(part, role=consts.HOST, idx=-1,
-                                             suffix=suffix + ("agg_model", p))
+                    for h in range(self.num_hosts):
+                        # dropped hosts get the same parts, wrapped in the
+                        # dropped frame; their ACKs are not awaited (they
+                        # may be dead, and a live one needs no flow
+                        # control for a model it only reads)
+                        t.arbiter_to_host.remote(
+                            part if h not in dropped
+                            else _dropped_marker(iter_index, part),
+                            role=consts.HOST, idx=h,
+                            suffix=suffix + ("agg_model", p))
                     t.guest_to_arbiter.get(idx=0, suffix=suffix + ("dispatch_result", p))
-                    t.host_to_arbiter.get(idx=-1, suffix=suffix + ("dispatch_result", p))
+                    for h in range(self.num_hosts):
+                        if h in dropped:
+                            continue
+                        t.host_to_arbiter.get(
+                            idx=h, suffix=suffix + ("dispatch_result", p))
             else:
-                dropped = getattr(self, "dropped_hosts", [])
                 t.arbiter_to_guest.remote(model, role=consts.GUEST, idx=0,
                                           suffix=suffix + ("agg_model", 0))
                 t.guest_to_arbiter.get(idx=0, suffix=suffix + ("dispatch_result", 0))
                 for h in range(self.num_hosts):
+                    t.arbiter_to_host.remote(
+                        model if h not in dropped
+                        else _dropped_marker(iter_index, model),
+                        role=consts.HOST, idx=h,
+                        suffix=suffix + ("agg_model", 0))
                     if h in dropped:
                         continue
-                    t.arbiter_to_host.remote(model, role=consts.HOST, idx=h,
-                                             suffix=suffix + ("agg_model", 0))
                     t.host_to_arbiter.get(
                         idx=h, suffix=suffix + ("dispatch_result", 0))
         return model
@@ -314,6 +381,10 @@ class Client:
         self.weights_last_round = None
         self.to_arbiter = None
         self.from_arbiter = None
+        # set by get_aggregated_model: True when the arbiter dropped this
+        # client's upload for the round (the model it returns is still the
+        # valid survivors' aggregate; only loss reporting is skipped)
+        self.was_dropped = False
 
     # role subclasses set: _register(trv) wiring + _loss/_converge syncs
 
@@ -338,10 +409,16 @@ class Client:
             if mode == "parallel" and nparts > 1:
                 parts = partition_lanes(payload, nparts)
                 for p, part in enumerate(parts):
-                    t_from.get(idx=0, suffix=suffix + ("allow_upload", p))
+                    if is_dropped_marker(
+                        t_from.get(idx=0, suffix=suffix + ("allow_upload", p))
+                    ):
+                        return False
                     t_to.remote(obj=maybe_pack(part), role=consts.ARBITER,
                                 idx=0, suffix=suffix + ("upload_model", p))
-                    t_from.get(idx=0, suffix=suffix + ("upload_result", p))
+                    if is_dropped_marker(
+                        t_from.get(idx=0, suffix=suffix + ("upload_result", p))
+                    ):
+                        return False
             elif mode == "parallel":
                 t_to.remote(obj=maybe_pack(payload), role=consts.ARBITER,
                             idx=0, suffix=suffix + ("upload_model", 0))
@@ -350,6 +427,7 @@ class Client:
                 t_to.remote(obj=maybe_pack(payload), role=consts.ARBITER,
                             idx=0, suffix=suffix + ("upload_model", 0))
                 t_from.get(idx=0, suffix=suffix + ("upload_result", 0))
+        return True
 
     def secure_aggregate(self, flat, before=None, iter_index=0,
                          suffix=tuple(), degree=None):
@@ -394,18 +472,26 @@ class Client:
             enc = q
 
         if locations is not None:
-            # append the plaintext quantized zero used as the dense filler
-            # (the reference's 'zzz' trick, jzf_aggregator.py:716-743)
+            # append the quantized zero used as the dense filler (the
+            # reference's 'zzz' trick, jzf_aggregator.py:716-743).  For
+            # flashe/plain the filler travels in plaintext (the reference
+            # excludes the zero from flashe encryption,
+            # jzf_aggregator.py:736-743); for paillier it is a ciphertext
+            # (the 'zzz' layer passes through weights.encrypted there).
             qz = self._block.quantizer.quantized_zero()
-            enc = jnp.concatenate(
-                [enc, jnp.asarray([qz], dtype=enc.dtype)])
+            if scheme == "paillier":
+                enc = np.concatenate(
+                    [enc, self._block.encrypt(np.asarray([qz], np.uint32))])
+            else:
+                enc = jnp.concatenate(
+                    [enc, jnp.asarray([qz], dtype=enc.dtype)])
 
         int_bits = getattr(self._block, "wire_int_bits",
                            getattr(self._block, "int_bits", None))
         payload = ModelPayload(
             lanes=enc, n_elements=n_elements, int_bits=int_bits,
             degree=self.degree, idx_list=self._block.get_idx_list())
-        self._upload(payload, suffix)
+        return self._upload(payload, suffix)
 
     def send_model(self, flat, before, iter_index, degree=None,
                    suffix=tuple()):
@@ -415,8 +501,17 @@ class Client:
 
     def aggregate_then_get(self, flat, iter_index, before=None, degree=None,
                            suffix=tuple()):
+        """One round: upload, overlap mask precompute, download.
+
+        Returns the new global flat vector, or None if the arbiter dropped
+        this client for the round (missed upload deadline) — the caller
+        keeps its local weights and rejoins at the next iteration."""
         self.send_model(flat=flat, before=before, iter_index=iter_index,
                         degree=degree, suffix=suffix)
+        # note: even a host dropped mid-upload (partitioned mode) proceeds
+        # to the download — the arbiter ships it the aggregate wrapped in
+        # dropped frames so it can install the global model and keep its
+        # quantizer statistics synchronized (see _dropped_marker)
         if self._secure_aggregate == "flashe":
             # overlap mask generation with the arbiter's aggregation window
             # (jzf_aggregator.py:820-826); JAX dispatch is async so these
@@ -427,6 +522,16 @@ class Client:
                 self._block.prepare_encrypt()
         return self.get_aggregated_model(suffix=suffix)
 
+    def _discard_prepared_decrypt(self, iter_index=None):
+        """Drop this round's precomputed decrypt masks after being dropped
+        (they are keyed by iteration and would otherwise linger)."""
+        cipher = getattr(self._block, "cipher", None)
+        prepared = getattr(cipher, "_prepared", None)
+        if prepared is not None:
+            if iter_index is None:
+                iter_index = cipher.iter_index
+            prepared.pop(("dec", iter_index), None)
+
     # -- download ----------------------------------------------------------
 
     def get_aggregated_model(self, suffix=tuple()):
@@ -434,18 +539,34 @@ class Client:
         mode = self._secure_aggregate_args.get("mode", "parallel")
         nparts = self._secure_aggregate_args.get("num_partitions", 1)
 
+        self.was_dropped = False
         with phase("download"):
             if mode == "parallel" and nparts > 1:
                 parts = []
                 for p in range(nparts):
-                    parts.append(t_from.get(idx=0, suffix=suffix + ("agg_model", p)))
-                    t_to.remote(obj="finish", role=consts.ARBITER, idx=0,
-                                suffix=suffix + ("dispatch_result", p))
+                    part = t_from.get(idx=0, suffix=suffix + ("agg_model", p))
+                    if is_dropped_marker(part):
+                        self.was_dropped = True
+                        part = part["payload"]
+                        if part is None:
+                            self._discard_prepared_decrypt()
+                            return None
+                    else:
+                        t_to.remote(obj="finish", role=consts.ARBITER, idx=0,
+                                    suffix=suffix + ("dispatch_result", p))
+                    parts.append(part)
                 payload = merge_lane_parts(parts)
             else:
                 payload = t_from.get(idx=0, suffix=suffix + ("agg_model", 0))
-                t_to.remote(obj="finish", role=consts.ARBITER, idx=0,
-                            suffix=suffix + ("dispatch_result", 0))
+                if is_dropped_marker(payload):
+                    self.was_dropped = True
+                    payload = payload["payload"]
+                    if payload is None:
+                        self._discard_prepared_decrypt()
+                        return None
+                else:
+                    t_to.remote(obj="finish", role=consts.ARBITER, idx=0,
+                                suffix=suffix + ("dispatch_result", 0))
         payload = payload.unpack()
 
         degrees = payload.degree

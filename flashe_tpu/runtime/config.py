@@ -141,6 +141,27 @@ class HomoNNParam:
         if self.max_iter <= 0 or self.batch_size <= 0:
             raise ValueError("max_iter and batch_size must be positive")
         self.secure_aggregate_args.check()
+        if self.sparsity != 1.0:
+            # sparsification composes with flashe (compact-counter masks),
+            # plain, and paillier (encrypted-zero filler — the reference's
+            # cnn_paillier_q16_b1_pad_s100 config); bfv/ckks pack many
+            # elements per ciphertext slot so per-position densification
+            # is meaningless, and quantizer batching would interleave
+            # selected/unselected elements inside one lane
+            if self.secure_aggregate in ("bfv", "ckks", "additive"):
+                raise ValueError(
+                    f"sparsity < 1.0 is not supported with "
+                    f"secure_aggregate={self.secure_aggregate!r} (use "
+                    f"flashe, plain, or paillier; slot-packed HE schemes "
+                    f"cannot densify per-position sparse uploads)")
+            q = self.secure_aggregate_args.quantize
+            if q is not None and q.batch:
+                raise ValueError(
+                    "sparsity < 1.0 is incompatible with quantize.batch "
+                    "(batched lanes interleave selected and unselected "
+                    "elements; the reference sparse configs all use "
+                    "batch=false, e.g. cnn_flashe_q16_b1_pad_no_pre_"
+                    "s100_dyn)")
         if self.secure_aggregate in ("flashe", "plain") and (
             self.secure_aggregate != "plain"
             and self.secure_aggregate_args.quantize is None

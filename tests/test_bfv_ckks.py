@@ -8,6 +8,8 @@ import pytest
 from flashe_tpu.crypto.bfv import BFVCipher
 from flashe_tpu.crypto.ckks import CKKSCipher
 
+pytestmark = pytest.mark.slow  # HE kernels: minutes on CPU; run in the full suite
+
 
 def test_bfv_roundtrip_nobatch():
     c = BFVCipher(p=1032193, m=64, flagBatching=False, seed=0).generate_keys()

@@ -267,6 +267,7 @@ def test_evaluate_classification_multiclass():
 # ------------------------------------------------------------- end-to-end
 
 
+@pytest.mark.slow
 def test_run_dsl_job_inprocess(tmp_path):
     store, tables = seed_store(tmp_path)
     conf = make_conf(tables, {

@@ -7,6 +7,8 @@ import pytest
 from flashe_tpu.crypto import paillier
 from flashe_tpu.ops import modmath
 
+pytestmark = pytest.mark.slow  # HE kernels: minutes on CPU; run in the full suite
+
 
 def test_limb_roundtrip():
     vals = [0, 1, (1 << 500) - 3, 123456789 ** 5]

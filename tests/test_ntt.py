@@ -24,6 +24,7 @@ def test_mont_mul_p(ctx):
     np.testing.assert_array_equal(got.astype(np.uint64), want)
 
 
+@pytest.mark.slow
 def test_ntt_roundtrip(ctx):
     rng = np.random.RandomState(1)
     x = np.stack([

@@ -11,6 +11,7 @@ from flashe_tpu.ops.lanes import lane_add, lane_sub
 SEED = bytes(range(32))
 
 
+@pytest.mark.slow
 def test_pallas_encrypt_matches_reference_stream():
     int_bits = 20
     rk = aes.key_schedule(SEED).astype(np.int32)
@@ -26,6 +27,7 @@ def test_pallas_encrypt_matches_reference_stream():
     np.testing.assert_array_equal(got.astype(object), want)
 
 
+@pytest.mark.slow
 def test_pallas_roundtrip_multi_tile():
     int_bits = 16
     tile = pf.tile_lanes_for(int_bits)
@@ -44,6 +46,7 @@ def test_pallas_roundtrip_multi_tile():
     np.testing.assert_array_equal(np.asarray(dec, np.int64), want)
 
 
+@pytest.mark.slow
 def test_pallas_base_block_offset_matches_stream():
     """base_block makes the kernel generate the global counter slice —
     the sharded-mesh contract (parallel/sharded.py)."""

@@ -9,6 +9,8 @@ from flashe_tpu.nn.weights import WeightsCodec
 from flashe_tpu.protocol import aggregator
 from flashe_tpu.runtime.simulate import run_roles
 
+pytestmark = pytest.mark.slow  # HE kernels: minutes on CPU; run in the full suite
+
 N_HOSTS = 2
 N_CLIENTS = N_HOSTS + 1
 

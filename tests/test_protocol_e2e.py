@@ -117,6 +117,7 @@ def test_plain_quantized_round():
     assert np.max(np.abs(results["guest"][0] - want)) < 5e-4
 
 
+@pytest.mark.slow
 def test_flashe_batched_lanes_round():
     args = _flashe_args()
     args["quantize"]["int_bits"] = 120
@@ -126,6 +127,7 @@ def test_flashe_batched_lanes_round():
     assert np.max(np.abs(results["guest"][0] - want)) < 5e-4
 
 
+@pytest.mark.slow
 def test_flashe_sparse_dynamic_round():
     """Sparse rounds ship top-s% deltas vs the COMMON previous global model
     (jzf_aggregator.py:699-703: before = weights_last_round)."""
@@ -172,4 +174,59 @@ def test_flashe_sparse_dynamic_round():
     np.testing.assert_allclose(g, results["host1"], atol=1e-6)
     # selected coordinates moved toward the client deltas; unselected
     # stay within quantization noise of the base
+    assert np.max(np.abs(g - base)) < 0.2
+
+
+@pytest.mark.slow
+def test_paillier_sparse_round():
+    """Sparsity composes with Paillier via the encrypted-zero filler (the
+    reference's cnn_paillier_q16_b1_pad_s100 config: the 'zzz' quantized
+    zero passes through weights.encrypted, jzf_aggregator.py:716-743, so
+    the arbiter densifies with a ciphertext filler and multiplies mod n^2
+    as usual)."""
+    args = {
+        "quantize": {"int_bits": 20, "batch": False, "element_bits": 16,
+                     "padding": True, "secure": True},
+        "mode": "parallel", "num_partitions": 1,
+        "key_length": 512,  # keep the test fast; 2048 in production
+    }
+    base_t = _models(200)
+    codec = WeightsCodec(base_t)
+    base = np.concatenate(
+        [base_t[k].ravel() for k in sorted(base_t)]).astype(np.float32)
+    rng = np.random.RandomState(17)
+    flats = [base + 0.05 * rng.randn(base.size).astype(np.float32)
+             for _ in range(N_CLIENTS)]
+
+    def client(agg, my_flat):
+        agg.set_codec(codec)
+        out = agg.aggregate_then_get(
+            jnp.asarray(my_flat), iter_index=0,
+            before=jnp.asarray(base), degree=1.0, suffix=(0,))
+        return np.asarray(out)
+
+    def guest(trv):
+        agg = aggregator.Guest().register_aggregator(
+            trv, sparsity=0.3, secure_aggregate="paillier",
+            secure_aggregate_args=args)
+        return client(agg, flats[0])
+
+    def host(trv, hid):
+        agg = aggregator.Host().register_aggregator(
+            trv, sparsity=0.3, secure_aggregate="paillier",
+            secure_aggregate_args=args)
+        return client(agg, flats[1 + hid])
+
+    def arbiter(trv):
+        agg = aggregator.Arbiter().register_aggregator(
+            trv, sparsity=0.3, secure_aggregate="paillier",
+            secure_aggregate_args=args)
+        agg.aggregate_and_broadcast(iter_index=0, suffix=(0,))
+        return None
+
+    results = run_roles(N_HOSTS, guest, host, arbiter)
+    g = results["guest"]
+    assert np.all(np.isfinite(g))
+    np.testing.assert_allclose(g, results["host0"], atol=1e-6)
+    np.testing.assert_allclose(g, results["host1"], atol=1e-6)
     assert np.max(np.abs(g - base)) < 0.2
