@@ -315,6 +315,24 @@ def cmd_cluster(args) -> int:
     return cluster_main(argv)
 
 
+def cmd_mesh_party(args) -> int:
+    """One client process of an SPMD mesh federation (multi-controller
+    JAX over DCN/ICI — parallel/mesh_party.py; run one per host).
+
+    NOTE: must run before anything initialises the XLA backend, so this
+    command performs jax.distributed.initialize first thing."""
+    from flashe_tpu.parallel.mesh_party import run_mesh_training
+
+    out = run_mesh_training(
+        args.coordinator, args.num_processes, args.process_id,
+        model=args.model, model_kwargs=json.loads(args.model_kwargs),
+        rounds=args.rounds, samples=args.samples, data=args.data,
+        learning_rate=args.learning_rate, int_bits=args.int_bits,
+        verbose=args.verbose)
+    print(json.dumps(out))
+    return 0
+
+
 # -- job management (fate_flow_client -f query_job/stop_job analogues) ------
 
 
@@ -572,6 +590,26 @@ def main(argv=None) -> int:
                                               "local model here")
     p_party.add_argument("--cpu", action="store_true")
     p_party.set_defaults(fn=cmd_party)
+
+    p_mesh = sub.add_parser(
+        "mesh-party", help="join an SPMD mesh federation as one client "
+                           "process (multi-controller JAX; run one per "
+                           "host of the slice)")
+    p_mesh.add_argument("--coordinator", required=True,
+                        help="host:port of process 0's coordinator")
+    p_mesh.add_argument("--num-processes", type=int, required=True)
+    p_mesh.add_argument("--process-id", type=int, required=True)
+    p_mesh.add_argument("--rounds", type=int, default=5)
+    p_mesh.add_argument("--model", default="mlp")
+    p_mesh.add_argument("--model-kwargs", default="{}")
+    p_mesh.add_argument("--samples", type=int, default=256,
+                        help="synthetic samples when --data is omitted")
+    p_mesh.add_argument("--data", help="this process's private shard "
+                                       "(.npz with x, y)")
+    p_mesh.add_argument("--learning-rate", type=float, default=0.05)
+    p_mesh.add_argument("--int-bits", type=int, default=20)
+    p_mesh.add_argument("--verbose", action="store_true")
+    p_mesh.set_defaults(fn=cmd_mesh_party)
 
     p_cluster = sub.add_parser(
         "cluster", help="expand/run a multi-host cluster conf "

@@ -21,6 +21,8 @@ library oracle in tests/test_aes.py.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,7 +83,12 @@ def _derive_sbox() -> np.ndarray:
 
 
 SBOX = _derive_sbox()
-_SBOX_J = jnp.asarray(SBOX.astype(np.int32))
+@functools.lru_cache(maxsize=1)
+def _sbox_j():
+    # lazy: a module-level jnp.asarray would initialise the XLA backend at
+    # import time, which breaks jax.distributed.initialize in multi-host
+    # children (parallel/multihost.py)
+    return jnp.asarray(SBOX.astype(np.int32))
 
 # ShiftRows permutation on flat byte index i = row + 4*col (FIPS-197
 # column-major state): out[r + 4c] = in[r + 4*((c + r) % 4)].
@@ -126,7 +133,7 @@ def key_schedule(key: bytes) -> np.ndarray:
 
 def sbox_lookup(x: jnp.ndarray) -> jnp.ndarray:
     """SubBytes via table gather.  x: int32 byte values in [0, 256)."""
-    return jnp.take(_SBOX_J, x, axis=0)
+    return jnp.take(_sbox_j(), x, axis=0)
 
 
 def sbox_circuit(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,177 @@
+"""Multi-process (multi-host) encrypted aggregation over a global mesh.
+
+The TPU-native replacement for the reference's *cluster* federation
+runtime (arch/api/transfer/cluster.py:154-303: eggroll object tables +
+Java federation/proxy gRPC between parties): on TPU pods, each party is
+one JAX process owning a host's chips; `jax.distributed.initialize`
+stitches the processes into one multi-controller program over DCN, the
+client axis of the (clients, lanes) mesh maps to processes, and the
+arbiter's big-int reduce becomes a single `psum` riding ICI/DCN — no
+serialization, no host round trips.
+
+Counter-offset mask generation (ops/masks.py `begin_block`) makes every
+(process, device) pair generate exactly its slice of the PRP stream, so
+the multi-process aggregate is bit-identical to the single-process mesh
+path (parallel/sharded.py) and to the federated protocol path
+(crypto/flashe.py) — asserted by tests/test_multihost.py.
+
+Single-chip containers (this image) exercise the path with N local
+processes x M virtual CPU devices through a localhost coordinator
+(`launch_local`); on real pods the same entry points run unchanged with
+the TPU topology.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "init_multihost", "make_multihost_mesh", "local_client_rows",
+    "multihost_encrypted_aggregate", "launch_local", "free_port",
+]
+
+
+def init_multihost(coordinator_address: str, num_processes: int,
+                   process_id: int) -> None:
+    """Join the multi-controller runtime.  Must run before first backend
+    use; pair with JAX_PLATFORMS/XLA_FLAGS set at process start (see
+    launch_local) when emulating hosts with CPU devices."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_multihost_mesh(n_lane_shards: Optional[int] = None):
+    """Global (clients, lanes) mesh: one client row per process, that
+    process's devices as its lane shards.
+
+    Keeping each row's lane shards on one host means encrypt/decrypt
+    traffic is host-local and only the psum crosses hosts — the same
+    locality the reference gets from aggregating at a single arbiter,
+    without funnelling ciphertext bytes through one box.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    by_proc: dict = {}
+    for d in devices:
+        by_proc.setdefault(d.process_index, []).append(d)
+    counts = {len(v) for v in by_proc.values()}
+    if len(counts) != 1:
+        raise ValueError(f"uneven devices per process: {by_proc}")
+    per = counts.pop()
+    if n_lane_shards is None:
+        n_lane_shards = per
+    if n_lane_shards != per:
+        raise ValueError(f"n_lane_shards={n_lane_shards} != devices per "
+                         f"process {per}")
+    grid = np.array([by_proc[p] for p in sorted(by_proc)], dtype=object)
+    return Mesh(grid, ("clients", "lanes"))
+
+
+def local_client_rows(mesh, num_clients: int) -> Sequence[int]:
+    """Client-axis rows owned by this process (one per process here)."""
+    import jax
+
+    pid = jax.process_index()
+    rows = [i for i, row in enumerate(np.asarray(mesh.devices))
+            if row[0].process_index == pid]
+    return rows
+
+
+def multihost_encrypted_aggregate(mesh, rk, q_local, iter_index,
+                                  int_bits: int, num_clients: int,
+                                  survivors=None):
+    """One encrypted round where each process supplies only ITS client
+    rows (q_local: (local_clients, N) uint32) — the multi-process
+    counterpart of parallel.sharded.encrypted_aggregate.
+
+    Returns the decrypted aggregate as a global array sharded over the
+    lane axis; callers read their addressable shards or allgather.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from flashe_tpu.parallel.sharded import encrypted_aggregate
+
+    n = q_local.shape[-1]
+    sharding = NamedSharding(mesh, P("clients", "lanes"))
+    q_global = jax.make_array_from_process_local_data(
+        sharding, np.asarray(q_local), (num_clients, n))
+    return encrypted_aggregate(mesh, rk, q_global, iter_index, int_bits,
+                               num_clients, survivors=survivors)
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def launch_local(n_processes: int, devices_per_process: int, script: str,
+                 extra_args: Sequence[str] = (), timeout: float = 600.0):
+    """Run `script` as N coordinated local processes with virtual CPU
+    devices (the container has one real chip; multi-host validation runs
+    the same code over emulated hosts, exactly like the driver's
+    dryrun_multichip does for the single-process mesh).
+
+    Each child gets --coordinator/--num-processes/--process-id plus
+    extra_args.  Returns the list of CompletedProcess results; raises on
+    any nonzero exit with the child's output attached.
+    """
+    port = free_port()
+    env_base = dict(os.environ)
+    # the container's sitecustomize registers (and initialises) the axon
+    # TPU backend whenever PALLAS_AXON_POOL_IPS is set, which breaks
+    # jax.distributed.initialize ("must be called before any JAX calls");
+    # the emulated hosts are CPU-only, so drop the trigger entirely
+    env_base.pop("PALLAS_AXON_POOL_IPS", None)
+    env_base["JAX_PLATFORMS"] = "cpu"
+    import re
+
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   env_base.get("XLA_FLAGS", "")).strip()
+    env_base["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count"
+                f"={devices_per_process}"
+    ).strip()
+    procs = []
+    for pid in range(n_processes):
+        cmd = [sys.executable, script,
+               "--coordinator", f"127.0.0.1:{port}",
+               "--num-processes", str(n_processes),
+               "--process-id", str(pid), *extra_args]
+        procs.append(subprocess.Popen(
+            cmd, env=env_base, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    results = []
+    failed = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            failed.append((pid, "timeout", out))
+            continue
+        results.append(out)
+        if p.returncode != 0:
+            failed.append((pid, p.returncode, out))
+    if failed:
+        msgs = "\n".join(f"-- process {pid} ({rc}):\n{out}"
+                         for pid, rc, out in failed)
+        raise RuntimeError(f"multihost children failed:\n{msgs}")
+    return results
