@@ -41,8 +41,21 @@ def main():
                          "fused pallas on TPU, xla elsewhere)")
     ap.add_argument("--mode", default="flashe",
                     choices=["flashe", "roundtrip1m", "precompute",
-                             "paillier", "model100m"],
-                    help="benchmark config (BASELINE.json configs)")
+                             "paillier", "model100m", "table2",
+                             "multihost"],
+                    help="benchmark config (BASELINE.json configs; "
+                         "table2 = the reference's full crypto comparison "
+                         "table, multihost = N-process scaling)")
+    ap.add_argument("--full", action="store_true",
+                    help="table2: include the no-batch BFV/CKKS rows "
+                         "(minutes of runtime / GBs of ciphertext, like "
+                         "the reference's)")
+    ap.add_argument("--table-sizes",
+                    help="table2: comma-separated element counts "
+                         "(default 16384,65536,262144 = the reference's)")
+    ap.add_argument("--processes", type=int, default=2,
+                    help="multihost: number of emulated host processes")
+    ap.add_argument("--devices-per-process", type=int, default=4)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the container registers a "
@@ -60,6 +73,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/flashe_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if args.mode == "table2":
+        run_table2(args)
+        return
+    if args.mode == "multihost":
+        run_multihost(args)
+        return
     if args.mode != "flashe":
         run_extra_mode(args)
         return
@@ -344,6 +363,256 @@ def run_extra_mode(args):
             "value": round(eps, 1), "unit": "elements/s",
             "vs_baseline": round(eps / BASELINE_ELEMENTS_PER_SEC, 2),
             "detail": {"round_seconds": round(t, 3), "clients": nc}}))
+
+
+def run_table2(args):
+    """Reproduce the reference's crypto comparison table
+    (encrypt_test/final_big_table.ipynb cell 30; BASELINE.md section 1):
+    every scheme +/- batching x {16384, 65536, 262144} elements, with
+    exact ciphertext bytes and encrypt / add(10 cts) / decrypt times.
+
+    Parity notes vs the notebook:
+    - same quantization geometry: 16-bit elements + 4 padding bits
+      (10 clients) = 20-bit lanes;
+    - Paillier n=2048 (batch packs 102 lanes/plaintext), BFV
+      t=1964769281 m=8192 batch / m=2048 no-batch, CKKS N=8192 scale
+      2^40 (floats in the clear slots, like the reference CKKS block);
+    - the 10-ciphertext aggregate reuses one encrypted vector ten times
+      (identical op count; avoids 10x the encrypt wall time on the
+      multi-minute no-batch rows), and decryption is verified against
+      the 10x plaintext sum;
+    - no-batch BFV/CKKS rows stream in fixed chunks (their ciphertexts
+      run to GBs, as in the reference table) and run only with --full;
+      their ciphertext sizes are always reported (exact formula).
+    Emits ONE JSON line: {"metric": "table2", "rows": [...]}.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from flashe_tpu.crypto.bfv import BFVCipher
+    from flashe_tpu.crypto.ckks import CKKSCipher
+    from flashe_tpu.crypto.flashe import FlasheCipher
+    from flashe_tpu.crypto.paillier import PaillierCipher
+    from flashe_tpu.ops import pack as packops
+    from flashe_tpu.ops import quantize as qops
+    from flashe_tpu.ops.lanes import lane_add, lanes_to_ints, ints_to_lanes
+
+    NC, EB, FACTOR = 10, 16, 4
+    M = EB + FACTOR  # 20-bit lanes
+    sizes = ([int(s) for s in args.table_sizes.split(",")]
+             if args.table_sizes else [16384, 65536, 262144])
+    rng = np.random.RandomState(0)
+    seed = bytes(range(32))
+    rows = []
+
+    def rec(alg, n, ct_bytes, t_enc, t_add, t_dec, ok=True):
+        rows.append({
+            "algorithm": alg, "elements": n,
+            "plaintext_bytes": n * M // 8,
+            "ciphertext_bytes": int(ct_bytes),
+            "inflation_x": round(ct_bytes / (n * M / 8), 2),
+            "encrypt_s": None if t_enc is None else round(t_enc, 4),
+            "add10_s": None if t_add is None else round(t_add, 4),
+            "decrypt_s": None if t_dec is None else round(t_dec, 4),
+            "correct": bool(ok),
+        })
+        if args.verbose:
+            print(f"# {alg:16s} n={n:7d} ct={ct_bytes/1e6:10.2f}MB "
+                  f"enc={t_enc} add={t_add} dec={t_dec} ok={ok}",
+                  flush=True)
+
+    def timeit(f, warm=True):
+        """Steady-state timing: one untimed warm call first (XLA compile
+        is per-shape and amortizes over a training run; the reference's
+        library crypto had no JIT to pay).  Device results are blocked on;
+        host results (object arrays) are synchronous already."""
+        if warm:
+            jax.block_until_ready(f())
+        t0 = time.perf_counter()
+        out = f()
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0, out
+
+    # ---------------- FLASHE (all sizes) ---------------------------------
+    for n in sizes:
+        q = rng.randint(0, 1 << EB, (NC, n)).astype(np.uint32)
+        ciphers = []
+        for i in range(NC):
+            c = FlasheCipher(M)
+            c.idx = i
+            c.set_num_clients(NC)
+            c.generate_prp_seed(assigned_seed=seed)
+            c.set_iter_index(0)
+            ciphers.append(c)
+        t_enc, ct0 = timeit(lambda: ciphers[0].encrypt(jnp.asarray(q[0])))
+        cts = [ct0] + [ciphers[i].encrypt(jnp.asarray(q[i]))
+                       for i in range(1, NC)]
+
+        def add_all():
+            acc = cts[0]
+            for ct in cts[1:]:
+                acc = lane_add(acc, ct, M)
+            return acc
+
+        t_add, agg = timeit(add_all)
+        t_dec, dec = timeit(lambda: ciphers[0].decrypt(agg))
+        want = q.astype(np.int64).sum(0) % (1 << M)
+        ok = np.array_equal(np.asarray(dec).astype(np.int64), want)
+        ct_bytes = len(packops.pack_lanes(np.asarray(ct0), M))
+        rec("flashe", n, ct_bytes, t_enc, t_add, t_dec, ok)
+
+    # ---------------- Paillier ------------------------------------------
+    pail = PaillierCipher()
+    pail.generate_key(2048)
+    ctbytes_per = (2 * 2048) // 8  # 4096-bit ciphertext
+
+    # batch: pack 2048//20 = 102 lanes per plaintext int
+    for n in sizes:
+        q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
+        packed = qops.batch_lanes(jnp.asarray(q0), 2048, EB, FACTOR)
+        ints = lanes_to_ints(np.asarray(packed), 2048)
+        t_enc, cts0 = timeit(lambda: pail.encrypt(ints))
+        t_add, agg = timeit(lambda: pail.add_ciphertexts([cts0] * NC))
+
+        def dec_batch():
+            sums = pail.decrypt(agg)
+            lanes2 = ints_to_lanes(sums, 2048)
+            return qops.unbatch_lanes(jnp.asarray(lanes2), n, 2048, EB,
+                                      FACTOR)
+
+        t_dec, dec = timeit(dec_batch)
+        want = (q0.astype(np.int64) * NC) % (1 << M)
+        ok = np.array_equal(np.asarray(dec).astype(np.int64), want)
+        rec("paillier+batch", n, len(ints) * ctbytes_per, t_enc, t_add,
+            t_dec, ok)
+
+    # no batch: one 20-bit value per ciphertext (16,384 only, like the
+    # reference's table)
+    n = sizes[0]
+    q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
+    ints = q0.astype(object)
+    t_enc, cts0 = timeit(lambda: pail.encrypt(ints))
+    t_add, agg = timeit(lambda: pail.add_ciphertexts([cts0] * NC))
+    t_dec, dec = timeit(lambda: pail.decrypt(agg))
+    ok = np.array_equal(np.asarray([int(v) for v in dec], dtype=np.int64),
+                        q0.astype(np.int64) * NC)
+    rec("paillier", n, n * ctbytes_per, t_enc, t_add, t_dec, ok)
+    for n2 in sizes[1:]:
+        rec("paillier", n2, n2 * ctbytes_per, None, None, None)
+
+    # ---------------- BFV ------------------------------------------------
+    T_BFV = 1964769281  # = 1 mod 2*8192: the reference's batch prime
+    bfv = BFVCipher(T_BFV, 8192, flagBatching=True, seed=0)
+    bfv.generate_keys()
+    bfv_ct_bytes = 2 * bfv.N * ((bfv.q.bit_length() + 7) // 8)
+    for n in sizes:
+        q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
+        t_enc, cts0 = timeit(lambda: bfv.encrypt(q0))
+        t_add, agg = timeit(lambda: bfv.add_ciphertexts([cts0] * NC))
+        t_dec, dec = timeit(lambda: bfv.decrypt(agg, n))
+        ok = np.array_equal(np.asarray(dec, np.int64),
+                            q0.astype(np.int64) * NC)
+        rec("bfv+batch", n, cts0.shape[0] * bfv_ct_bytes, t_enc, t_add,
+            t_dec, ok)
+
+    n = sizes[0]
+    bfv_nb = BFVCipher(T_BFV, 2048, flagBatching=False, seed=0)
+    bfv_nb.generate_keys()
+    nb_ct_bytes = 2 * bfv_nb.N * ((bfv_nb.q.bit_length() + 7) // 8)
+    if args.full:
+        q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
+        chunk = 2048
+        t_enc = t_add = t_dec = 0.0
+        ok = True
+        for b in range(0, n, chunk):
+            part = q0[b : b + chunk]
+            te, cts0 = timeit(lambda: bfv_nb.encrypt(part))
+            ta, agg = timeit(lambda: bfv_nb.add_ciphertexts([cts0] * NC))
+            td, dec = timeit(lambda: bfv_nb.decrypt(agg, len(part)))
+            t_enc, t_add, t_dec = t_enc + te, t_add + ta, t_dec + td
+            ok = ok and np.array_equal(np.asarray(dec, np.int64),
+                                       part.astype(np.int64) * NC)
+        rec("bfv", n, n * nb_ct_bytes, t_enc, t_add, t_dec, ok)
+    else:
+        rec("bfv", n, n * nb_ct_bytes, None, None, None)
+
+    # ---------------- CKKS -----------------------------------------------
+    ck = CKKSCipher(8192, global_scale=2.0 ** 40, seed=0)
+    ck.generate_keys()
+    ck_ct_bytes = 2 * ck.N * ((ck.q.bit_length() + 7) // 8)
+    for n in sizes:
+        x0 = rng.randn(n).astype(np.float64)
+        t_enc, cts0 = timeit(lambda: ck.encrypt(x0))
+        t_add, agg = timeit(lambda: ck.add_ciphertexts([cts0] * NC))
+        t_dec, dec = timeit(lambda: ck.decrypt(agg, n))
+        err = np.max(np.abs(np.asarray(dec) - x0 * NC))
+        rec("ckks+batch", n, cts0.shape[0] * ck_ct_bytes, t_enc, t_add,
+            t_dec, err < 1e-2)
+
+    n = sizes[0]
+    if args.full:
+        x0 = rng.randn(n).astype(np.float64)
+        chunk = 256
+        t_enc = t_add = t_dec = 0.0
+        worst = 0.0
+        for b in range(0, n, chunk):
+            part = x0[b : b + chunk]
+            # one value per ciphertext: encrypt each scalar into slot 0
+            pts = np.zeros((len(part), ck.slots))
+            pts[:, 0] = part
+
+            def enc_chunk():
+                return np.concatenate(
+                    [ck.encrypt(pts[i]) for i in range(len(part))])
+
+            te, cts0 = timeit(enc_chunk)
+            ta, agg = timeit(lambda: ck.add_ciphertexts([cts0] * NC))
+
+            def dec_chunk():
+                return np.array([ck.decrypt(agg[i : i + 1], 1)[0]
+                                 for i in range(len(part))])
+
+            td, dec = timeit(dec_chunk)
+            t_enc, t_add, t_dec = t_enc + te, t_add + ta, t_dec + td
+            worst = max(worst, float(np.max(np.abs(dec - part * NC))))
+        rec("ckks", n, n * ck_ct_bytes, t_enc, t_add, t_dec, worst < 1e-2)
+    else:
+        rec("ckks", n, n * ck_ct_bytes, None, None, None)
+
+    print(json.dumps({"metric": "table2", "unit": "see rows",
+                      "value": len(rows), "vs_baseline": 1.0,
+                      "rows": rows}))
+
+
+def run_multihost(args):
+    """N-process scaling of the encrypted mesh aggregate (emulated hosts
+    with virtual CPU devices; parallel/multihost.py)."""
+    from flashe_tpu.parallel.multihost import launch_local
+
+    outs = launch_local(
+        args.processes, args.devices_per_process,
+        "flashe_tpu/parallel/_multihost_child.py",
+        extra_args=["--elements", str(args.elements), "--bench",
+                    "--rounds", "3"],
+        timeout=560)
+    per_round = []
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("BENCH "):
+                per_round.append(
+                    float(line.split("round_s=")[1].split()[0]))
+    t = max(per_round)  # slowest process bounds the round
+    total_elems = args.elements * args.processes
+    print(json.dumps({
+        "metric": "flashe_multihost_round_elements_per_sec",
+        "value": round(total_elems / t, 1), "unit": "elements/s",
+        "vs_baseline": round(
+            (total_elems / t) / BASELINE_ELEMENTS_PER_SEC, 2),
+        "detail": {"processes": args.processes,
+                   "devices_per_process": args.devices_per_process,
+                   "round_s": round(t, 4)}}))
 
 
 if __name__ == "__main__":

@@ -234,7 +234,7 @@ class FlasheCipher:
         kernel, mask generation is cheaper than reading precomputed masks
         back from HBM, so precomputation becomes a no-op there.
         """
-        if self._pallas_ok():
+        if self._pallas_ok() or self.num_params is None:
             return
         it = self.iter_index + 1
         rk, n = self._round_keys, self.num_params
@@ -250,7 +250,7 @@ class FlasheCipher:
     def prepare_decrypt(self):
         """Precompute this round's aggregate-decrypt boundary masks
         (jzf_flashe.py:633-666): add at idx=num_clients, minus at idx=0."""
-        if self._pallas_ok():
+        if self._pallas_ok() or self.num_params is None:
             return
         it = self.iter_index
         add = self._s(self.num_clients, self.num_params)

@@ -47,7 +47,8 @@ class HomoNNClient:
         self.codec = WeightsCodec(params)
         self.trainer = LocalTrainer(
             model, params, optimizer=self.param.optimizer,
-            learning_rate=self.param.learning_rate, seed=self.seed)
+            learning_rate=self.param.learning_rate, seed=self.seed,
+            label_pad_id=self.param.label_pad_id)
 
     def fit(self, transfer_variables, x: np.ndarray, y: np.ndarray,
             start_iter: int = 0):

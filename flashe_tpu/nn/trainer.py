@@ -29,25 +29,33 @@ def make_optimizer(name: str, learning_rate: float):
     raise ValueError(f"unknown optimizer {name}")
 
 
-def _softmax_ce(logits, labels):
-    return optax.softmax_cross_entropy_with_integer_labels(
-        logits, labels
-    ).mean()
+def _softmax_ce(logits, labels, pad_id=None):
+    """Mean softmax CE over integer labels; with pad_id set, positions
+    whose label equals pad_id are masked out (Keras Embedding mask_zero
+    semantics for the reference's sequence workloads,
+    jzf_nn_model.py nn_define `mask_zero: true`)."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    if pad_id is None:
+        return ce.mean()
+    w = (labels != pad_id).astype(ce.dtype)
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 class LocalTrainer:
     def __init__(self, model, params, optimizer: str = "adam",
-                 learning_rate: float = 5e-4, seed: int = 0):
+                 learning_rate: float = 5e-4, seed: int = 0,
+                 label_pad_id: int | None = None):
         self.model = model
         self.params = params
         self.tx = make_optimizer(optimizer, learning_rate)
         self.opt_state = self.tx.init(params)
         self._rng = jax.random.PRNGKey(seed)
+        pad_id = label_pad_id
 
         def loss_fn(params, x, y, rng):
             logits = model.apply({"params": params}, x, train=True,
                                  rngs={"dropout": rng})
-            return _softmax_ce(logits, y)
+            return _softmax_ce(logits, y, pad_id)
 
         @jax.jit
         def train_step(params, opt_state, x, y, rng):
@@ -59,8 +67,13 @@ class LocalTrainer:
         @jax.jit
         def eval_step(params, x, y):
             logits = model.apply({"params": params}, x, train=False)
-            loss = _softmax_ce(logits, y)
-            acc = jnp.mean(jnp.argmax(logits, -1) == y)
+            loss = _softmax_ce(logits, y, pad_id)
+            hit = (jnp.argmax(logits, -1) == y)
+            if pad_id is not None:
+                w = (y != pad_id).astype(jnp.float32)
+                acc = jnp.sum(hit * w) / jnp.maximum(jnp.sum(w), 1.0)
+            else:
+                acc = jnp.mean(hit)
             return loss, acc
 
         self._train_step = train_step

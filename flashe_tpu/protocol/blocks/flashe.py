@@ -169,6 +169,11 @@ class _Client(uuid_sync.Client, dh_sync.Client):
 
     def set_codec(self, codec):
         self.quantizer.set_codec(codec)
+        if self.precompute and self.cipher.num_params is None:
+            # precompute.num_params omitted in the conf: default to the
+            # model's lane count (the reference requires it explicitly,
+            # e.g. cnn_* confs pin 1206590; the codec knows it here)
+            self.cipher.set_num_params(codec.total)
 
     def quantize(self, flat):
         if not self.secure:

@@ -119,6 +119,8 @@ class HomoNNParam:
     eps: float = 1e-4
     early_stop_enabled: bool = False  # the reference hard-disables early
     # stopping with `and False` (enter_point.py:192); opt back in here
+    label_pad_id: Optional[int] = None  # sequence workloads: mask loss
+    # at padded positions (the nn_define's Embedding mask_zero: true)
 
     def to_dict(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)

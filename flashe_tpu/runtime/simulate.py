@@ -55,9 +55,17 @@ def run_roles(n_hosts: int, guest_fn: Callable, host_fn: Callable,
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=900)
-        if t.is_alive():
-            raise TimeoutError(f"role thread {t.name} did not finish")
+        # poll so a crashed role surfaces immediately instead of leaving
+        # the other roles blocked on gets that will never be answered
+        deadline = 900
+        while t.is_alive():
+            t.join(timeout=1.0)
+            deadline -= 1
+            if errors:
+                name, err = next(iter(errors.items()))
+                raise RuntimeError(f"role {name} failed: {err!r}") from err
+            if deadline <= 0:
+                raise TimeoutError(f"role thread {t.name} did not finish")
     if errors:
         name, err = next(iter(errors.items()))
         raise RuntimeError(f"role {name} failed: {err!r}") from err
