@@ -77,32 +77,42 @@ def _build(count: int, int_bits: int, interpret: bool):
     n_tiles = padded // tile
 
     kern = functools.partial(_kernel, int_bits=int_bits)
-    call = pl.pallas_call(
-        kern,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, merge, 32, _GROUPS_PER_TILE),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # iter scalar
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # add idx
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # minus idx
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # base block offset
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # round keys
-        ],
-        out_specs=pl.BlockSpec((1, merge, 32, _GROUPS_PER_TILE),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, merge, 32, _GROUPS_PER_TILE), jnp.uint32),
-        interpret=interpret,
-    )
+
+    def _call(q4, *rest):
+        # out varies over exactly the mesh axes the inputs do: propagate
+        # vma so the kernel composes with shard_map(check_vma=True)
+        # (the mesh-sharded aggregation path, parallel/sharded.py)
+        vma = frozenset()
+        for x in (q4, *rest):
+            vma |= getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+        out_shape = jax.ShapeDtypeStruct(
+            (n_tiles, merge, 32, _GROUPS_PER_TILE), jnp.uint32, vma=vma)
+        return pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, merge, 32, _GROUPS_PER_TILE),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # iter scalar
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # add idx
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # minus idx
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # base block offset
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # round keys
+            ],
+            out_specs=pl.BlockSpec((1, merge, 32, _GROUPS_PER_TILE),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(q4, *rest)
 
     def run(q, it, add_idx, minus_idx, base_block, rk):
         qp = jnp.zeros((padded,), jnp.uint32).at[:count].set(q)
         # linear lane order (g, j, j0) -> kernel-native (j0, j, g) per tile
         q4 = qp.reshape(n_tiles, _GROUPS_PER_TILE, 32, merge).transpose(
             0, 3, 2, 1)
-        out4 = call(
+        out4 = _call(
             q4,
             jnp.asarray([it], jnp.int32),
             jnp.asarray([add_idx], jnp.int32),

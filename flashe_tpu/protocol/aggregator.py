@@ -244,10 +244,16 @@ class Arbiter:
                 dense.append(d)
             arrays = dense
         else:
-            arrays = [np.asarray(p.lanes) for p in payloads]
+            # in-process federation delivers device arrays: keep them on
+            # device (at 100M params a host round-trip per client per
+            # round is 4 GB of needless PCIe/tunnel traffic); TCP
+            # arrivals are numpy already
+            arrays = [p.lanes if isinstance(p.lanes, jax.Array)
+                      else np.asarray(p.lanes) for p in payloads]
 
         if scheme in ("paillier", "bfv", "ckks"):
-            return self._block.add_ciphertexts(arrays)
+            return self._block.add_ciphertexts(
+                [np.asarray(a) for a in arrays])
 
         arrays = [jnp.asarray(a) for a in arrays]
         if scheme == "flashe" or (
