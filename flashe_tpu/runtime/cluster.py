@@ -156,6 +156,13 @@ def load_cluster_conf(path: str) -> dict:
             conf = yaml.safe_load(f)
         else:
             conf = json.load(f)
+    if "mesh" in conf:
+        # SPMD mesh federation (parallel/mesh_party.py): one client
+        # process per host over jax.distributed; no broker, no roles
+        mesh = conf["mesh"]
+        if not mesh.get("hosts"):
+            raise ValueError("mesh conf needs a non-empty hosts list")
+        return conf
     for key in ("broker", "job", "parties"):
         if key not in conf:
             raise ValueError(f"cluster conf missing section {key!r}")
@@ -189,6 +196,8 @@ def plan_commands(conf: dict, conf_dir: str = ".") -> Dict[str, dict]:
     reference ships job configs to every node the same way —
     deployment/server_deploy.sh copies the repo tree verbatim).
     """
+    if "mesh" in conf:
+        return _plan_mesh_commands(conf)
     broker = conf["broker"]
     job = conf["job"]
     job_id = str(job.get("id") or uuid.uuid4().hex[:12])
@@ -227,6 +236,36 @@ def plan_commands(conf: dict, conf_dir: str = ".") -> Dict[str, dict]:
     return plan
 
 
+def _plan_mesh_commands(conf: dict) -> Dict[str, dict]:
+    """Mesh-federation plan: one `mesh-party` process per host of the
+    slice (multi-controller JAX over DCN; parallel/mesh_party.py).
+    Process 0's machine doubles as the coordinator."""
+    mesh = conf["mesh"]
+    hosts = [h if isinstance(h, dict) else {"host": h}
+             for h in mesh["hosts"]]
+    coordinator = mesh.get("coordinator") or f"{hosts[0]['host']}:9401"
+    py = conf.get("python", "python")
+    plan: Dict[str, dict] = {}
+    for i, entry in enumerate(hosts):
+        parts = [py, "-m", "flashe_tpu", "mesh-party",
+                 "--coordinator", coordinator,
+                 "--num-processes", str(len(hosts)),
+                 "--process-id", str(i),
+                 "--rounds", str(mesh.get("rounds", 5)),
+                 "--model", mesh.get("model", "mlp")]
+        if mesh.get("model_kwargs"):
+            parts += ["--model-kwargs", json.dumps(mesh["model_kwargs"])]
+        if mesh.get("learning_rate"):
+            parts += ["--learning-rate", str(mesh["learning_rate"])]
+        if entry.get("data"):
+            parts += ["--data", entry["data"]]
+        plan[f"mesh_{i}"] = {
+            "host": entry["host"],
+            "cmd": " ".join(shlex.quote(p) for p in parts),
+        }
+    return plan
+
+
 def run_local(conf: dict, conf_dir: str = ".",
               timeout: float = 900.0) -> Dict[str, int]:
     """Validate a cluster conf by executing the whole plan on this box.
@@ -236,6 +275,8 @@ def run_local(conf: dict, conf_dir: str = ".",
     locally bound port) and waits for completion.  Returns per-party
     return codes.
     """
+    if "mesh" in conf:
+        return _run_local_mesh(conf, timeout)
     plan = plan_commands(conf, conf_dir)
     broker_cmd = shlex.split(plan.pop("broker")["cmd"])
     # ephemeral local port instead of the conf's fleet-facing one
@@ -263,6 +304,39 @@ def run_local(conf: dict, conf_dir: str = ".",
                 proc.terminate()
         broker.terminate()
         broker.wait()
+    return rcs
+
+
+def _run_local_mesh(conf: dict, timeout: float) -> Dict[str, int]:
+    """Validate a mesh conf on this box: every mesh-party process runs
+    locally over virtual CPU devices through a localhost coordinator."""
+    import re
+
+    from flashe_tpu.parallel.multihost import free_port
+
+    plan = plan_commands(conf)
+    port = free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # see multihost.launch_local
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+        + " --xla_force_host_platform_device_count=2").strip()
+    procs: List[Tuple[str, subprocess.Popen]] = []
+    rcs: Dict[str, int] = {}
+    try:
+        for key, entry in plan.items():
+            argv = shlex.split(entry["cmd"])
+            argv[argv.index("--coordinator") + 1] = f"127.0.0.1:{port}"
+            procs.append((key, subprocess.Popen(argv, env=env)))
+        deadline = time.time() + timeout
+        for key, proc in procs:
+            rcs[key] = proc.wait(timeout=max(1.0, deadline - time.time()))
+    finally:
+        for _, proc in procs:
+            if proc.poll() is None:
+                proc.terminate()
     return rcs
 
 
@@ -306,11 +380,13 @@ def main(argv=None) -> int:
         return 2
     plan = plan_commands(conf, conf_dir)
     procs = {}
-    broker_entry = plan.pop("broker")
-    broker = subprocess.Popen(
-        runner.format(host=broker_entry["host"],
-                      cmd=broker_entry["cmd"]), shell=True)
-    time.sleep(2.0)  # let the exchange bind before parties dial it
+    broker = None
+    broker_entry = plan.pop("broker", None)
+    if broker_entry is not None:
+        broker = subprocess.Popen(
+            runner.format(host=broker_entry["host"],
+                          cmd=broker_entry["cmd"]), shell=True)
+        time.sleep(2.0)  # let the exchange bind before parties dial it
     try:
         for key, entry in plan.items():
             procs[key] = subprocess.Popen(
@@ -322,7 +398,8 @@ def main(argv=None) -> int:
         for p in procs.values():
             if p.poll() is None:
                 p.terminate()
-        broker.terminate()
+        if broker is not None:
+            broker.terminate()
     print(json.dumps(rcs))
     return 0 if all(rc == 0 for rc in rcs.values()) else 1
 

@@ -98,3 +98,30 @@ def test_cluster_run_local(tmp_path):
         guest = pickle.load(f)
     assert guest["history"][0]["loss"] > 0
     assert "encryption" in guest["phases"]
+
+
+def test_mesh_conf_plan():
+    """A mesh conf expands into one mesh-party command per host, no
+    broker (the SPMD federation mode, deploy/mesh_conf.yml)."""
+    from flashe_tpu.runtime.cluster import plan_commands
+
+    conf = {
+        "mesh": {
+            "coordinator": "10.0.0.2:9401",
+            "hosts": [{"host": "10.0.0.2", "data": "/d/s0.npz"},
+                      "10.0.0.3"],
+            "rounds": 7,
+            "model": "mlp",
+        },
+    }
+    plan = plan_commands(conf)
+    assert set(plan) == {"mesh_0", "mesh_1"}
+    assert "broker" not in plan
+    c0 = plan["mesh_0"]["cmd"]
+    assert "--coordinator 10.0.0.2:9401" in c0
+    assert "--num-processes 2" in c0
+    assert "--process-id 0" in c0
+    assert "--rounds 7" in c0
+    assert "--data /d/s0.npz" in c0
+    assert "--data" not in plan["mesh_1"]["cmd"]
+    assert plan["mesh_1"]["host"] == "10.0.0.3"
