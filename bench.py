@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--mode", default="flashe",
                     choices=["flashe", "roundtrip1m", "precompute",
                              "paillier", "model100m", "table2",
-                             "multihost"],
+                             "multihost", "roofline"],
                     help="benchmark config (BASELINE.json configs; "
                          "table2 = the reference's full crypto comparison "
                          "table, multihost = N-process scaling)")
@@ -75,6 +75,9 @@ def main():
 
     if args.mode == "table2":
         run_table2(args)
+        return
+    if args.mode == "roofline":
+        run_roofline(args)
         return
     if args.mode == "multihost":
         run_multihost(args)
@@ -270,8 +273,15 @@ def run_extra_mode(args):
                 ci.prepare_encrypt()
                 ci.set_iter_index(it)
                 ci.prepare_decrypt()
-            jax.block_until_ready([ci._prepared[("enc", it)][0]
-                                   for ci in ciphers])
+            # (on the fused-Pallas TPU path prepare_* is a documented
+            # no-op — regenerating masks in-kernel beats reading
+            # precomputed ones back from HBM — so there may be nothing
+            # to wait on; the online time below is then the full fused
+            # enc+agg+dec, which is the honest online cost either way)
+            pending = [ci._prepared[("enc", it)][0] for ci in ciphers
+                       if ("enc", it) in ci._prepared]
+            if pending:
+                jax.block_until_ready(pending)
             t0 = time.perf_counter()
             agg = None
             for ci in ciphers:
@@ -324,6 +334,9 @@ def run_extra_mode(args):
         n, m, nc = 100_000_000, 20, 10
         rk = jnp.asarray(aes_mod.key_schedule(seed).astype(np.int32))
         mask = np.uint32((1 << m) - 1)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if on_tpu:
+            from flashe_tpu.ops import pallas_flashe as pf
         x = jnp.asarray(rng.randn(n).astype(np.float32) * 0.1)
 
         @jax.jit
@@ -333,21 +346,36 @@ def run_extra_mode(args):
             u = jax.random.uniform(key, v.shape, dtype=jnp.float32)
             return jnp.floor(v + u).astype(jnp.uint32)
 
-        @jax.jit
-        def enc(q, idx):
-            add = prp_lane_stream(rk, 0, idx, n, m)
-            minus = prp_lane_stream(rk, 0, idx + 1, n, m)
-            return (q + add - minus) & mask
+        if on_tpu:
+            # fused Pallas kernel: masks are generated in VMEM tiles and
+            # never round-trip through HBM (2x 400 MB saved per stream)
+            it0 = jnp.asarray(0, jnp.int32)
 
-        @jax.jit
-        def agg_step(acc, idx, q):
-            return (acc + enc(q, idx)) & mask
+            def enc(q, idx):
+                return pf.pallas_mask_apply(q, rk, it0, idx, idx + 1, m)
 
-        @jax.jit
-        def dec(acc):
-            add = prp_lane_stream(rk, 0, nc, n, m)
-            minus = prp_lane_stream(rk, 0, 0, n, m)
-            return (acc + add - minus) & mask
+            @jax.jit
+            def agg_step(acc, idx, q):
+                return (acc + enc(q, idx)) & mask
+
+            def dec(acc):
+                return pf.pallas_mask_apply(acc, rk, it0, nc, 0, m)
+        else:
+            @jax.jit
+            def enc(q, idx):
+                add = prp_lane_stream(rk, 0, idx, n, m)
+                minus = prp_lane_stream(rk, 0, idx + 1, n, m)
+                return (q + add - minus) & mask
+
+            @jax.jit
+            def agg_step(acc, idx, q):
+                return (acc + enc(q, idx)) & mask
+
+            @jax.jit
+            def dec(acc):
+                add = prp_lane_stream(rk, 0, nc, n, m)
+                minus = prp_lane_stream(rk, 0, 0, n, m)
+                return (acc + add - minus) & mask
 
         def full_round():
             q = quantize(x, jax.random.PRNGKey(0))
@@ -584,6 +612,151 @@ def run_table2(args):
     print(json.dumps({"metric": "table2", "unit": "see rows",
                       "value": len(rows), "vs_baseline": 1.0,
                       "rows": rows}))
+
+
+def run_roofline(args):
+    """Speed-of-light accounting (docs/ROOFLINE.md; SURVEY section 7.2 M1).
+
+    Measures on this chip:
+      1. the attainable VPU ceiling for AES-class work — a dependent
+         uint32 xor/add/shift chain, 256 ops/element fused into one
+         kernel (arithmetic intensity 32 ops/byte, far past the
+         compute/memory crossover, so the timing is compute-bound);
+      2. HBM stream bandwidth (y = x + 1 over 1 GB, read+write);
+      3. achieved throughput of the production kernels — fused Pallas
+         encrypt, decrypt, 10-ciphertext lane aggregate, and the
+         Paillier-2048 Montgomery modexp;
+    and reports each kernel's fraction of the ceiling implied by its
+    op-count model (441 bitwise ops per encrypted element for the
+    bitsliced-AES double-mask stream; ~8.1e8 int ops per ciphertext for
+    the 2048-bit CIOS exponent scan — derivations in docs/ROOFLINE.md).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from flashe_tpu.ops import aes as aes_mod
+
+    def timed(f, reps=3):
+        out = f()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps, out
+
+    # ---- 1. VPU ceiling: 256 dependent uint32 ops/element, one kernel --
+    n_vpu = 8_388_608
+    CONSTS = np.random.RandomState(7).randint(
+        1, 1 << 31, 64, dtype=np.uint32)
+
+    @jax.jit
+    def chain(x):
+        for i in range(64):
+            c = jnp.uint32(CONSTS[i])
+            x = x ^ c                      # 1
+            x = x + (x >> jnp.uint32(7))   # 2 (shift + add)
+            x = x ^ (x << jnp.uint32(3))   # 2 (shift + xor)... 5 ops/iter
+        return x
+
+    OPS_PER_ELEM_CHAIN = 64 * 5
+    x0 = jnp.arange(n_vpu, dtype=jnp.uint32)
+    t_vpu, _ = timed(lambda: chain(x0), reps=5)
+    vpu_ops = n_vpu * OPS_PER_ELEM_CHAIN / t_vpu
+
+    # ---- 2. HBM stream bandwidth ---------------------------------------
+    n_hbm = 268_435_456  # 1 GiB of uint32
+    y0 = jnp.arange(n_hbm, dtype=jnp.uint32)
+    incr = jax.jit(lambda v: v + jnp.uint32(1))
+    t_hbm, _ = timed(lambda: incr(y0), reps=5)
+    hbm_bw = 2 * 4 * n_hbm / t_hbm  # read + write
+
+    # ---- 3. achieved kernels -------------------------------------------
+    n, m, nc = 4_194_304, 20, 10
+    rk = jnp.asarray(aes_mod.key_schedule(bytes(range(32))).astype(np.int32))
+    lane_mask = np.uint32((1 << m) - 1)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        from flashe_tpu.ops import pallas_flashe as pf
+
+        enc = jax.jit(lambda q, it: pf.pallas_mask_apply(
+            q, rk, it, 0, 1, m))
+        dec = jax.jit(lambda q, it: pf.pallas_mask_apply(
+            q, rk, it, nc, 0, m))
+    else:
+        from flashe_tpu.ops.masks import prp_lane_stream
+
+        def _apply(q, it, a, b):
+            add = prp_lane_stream(rk, it, a, n, m)
+            minus = prp_lane_stream(rk, it, b, n, m)
+            return (q + add - minus) & lane_mask
+
+        enc = jax.jit(lambda q, it: _apply(q, it, 0, 1))
+        dec = jax.jit(lambda q, it: _apply(q, it, nc, 0))
+
+    q = jnp.asarray(np.random.RandomState(0).randint(
+        0, 1 << 16, n).astype(np.uint32))
+    it0 = jnp.asarray(0, jnp.int32)
+    t_enc, ct = timed(lambda: enc(q, it0), reps=5)
+    t_dec, _ = timed(lambda: dec(ct, it0), reps=5)
+
+    cts = jnp.stack([ct] * nc)
+    agg = jax.jit(
+        lambda c: jnp.sum(c, axis=0, dtype=jnp.uint32) & lane_mask)
+    t_agg, _ = timed(lambda: agg(cts), reps=5)
+
+    # Paillier modexp (smaller batch than --mode paillier to keep the
+    # roofline run short; throughput is batch-insensitive once the VPU
+    # lanes are full)
+    from flashe_tpu.ops import modmath
+    from flashe_tpu.crypto.paillier import PaillierKeypair
+
+    kbits = 2048 if on_tpu else 256  # CPU smoke only; the ops model
+    batch = 512 if on_tpu else 8     # (section 4) is for 2048-bit keys
+    pub, _ = PaillierKeypair.generate_keypair(kbits)
+    ctx = modmath.MontCtx(pub.nsquare)
+    rng = np.random.RandomState(1)
+    r = jnp.asarray(modmath.to_limbs(
+        [rng.randint(1, 1 << 62) for _ in range(batch)], ctx.L))
+    ebits = jnp.asarray(modmath.exponent_bits(pub.n, pub.n.bit_length()))
+    t_exp, _ = timed(lambda: modmath.mont_exp(
+        ctx, modmath.mont_from(ctx, r), ebits), reps=1)
+    if not on_tpu:
+        # the modexp fraction below is only meaningful at 2048 bits
+        OPS_PER_CT_MODEXP_EFF = 8.1e8 * (kbits / 2048) ** 3
+    else:
+        OPS_PER_CT_MODEXP_EFF = 8.1e8
+
+    OPS_PER_ELEM_FLASHE = 441      # docs/ROOFLINE.md section 1
+    enc_eps, dec_eps = n / t_enc, n / t_dec
+    agg_bytes = (nc + 1) * 4 * n / t_agg
+    ct_per_s = batch / t_exp
+    out = {
+        "metric": "roofline",
+        "value": round(100 * enc_eps * OPS_PER_ELEM_FLASHE / vpu_ops, 1),
+        "unit": "% of VPU ceiling (encrypt)",
+        "vs_baseline": 1.0,
+        "detail": {
+            "platform": jax.devices()[0].platform,
+            "vpu_uint32_Gops": round(vpu_ops / 1e9, 1),
+            "hbm_GBps": round(hbm_bw / 1e9, 1),
+            "encrypt_Melem_s": round(enc_eps / 1e6, 1),
+            "encrypt_pct_of_peak": round(
+                100 * enc_eps * OPS_PER_ELEM_FLASHE / vpu_ops, 1),
+            "decrypt_Melem_s": round(dec_eps / 1e6, 1),
+            "decrypt_pct_of_peak": round(
+                100 * dec_eps * OPS_PER_ELEM_FLASHE / vpu_ops, 1),
+            "aggregate10_GBps": round(agg_bytes / 1e9, 1),
+            "aggregate_pct_of_hbm": round(
+                100 * agg_bytes / hbm_bw, 1),
+            "modexp2048_ct_s": round(ct_per_s, 1),
+            "modexp_pct_of_peak": round(
+                100 * ct_per_s * OPS_PER_CT_MODEXP_EFF / vpu_ops, 1),
+        },
+    }
+    print(json.dumps(out))
 
 
 def run_multihost(args):

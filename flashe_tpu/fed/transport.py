@@ -105,6 +105,21 @@ class Federation:
     def roles_to_parties(self, roles: Sequence[str]) -> List[Party]:
         return [p for role in roles for p in self.parties if p.role == role]
 
+    def scoped(self, sub_id: str) -> "Federation":
+        """A view of this federation whose tags live under
+        `{job_id}.{sub_id}` — an isolated message namespace over the same
+        transport (the analogue of FATE running a sub-task under its own
+        flow id, e.g. one cross-validation fold per
+        federatedml/model_base.py:74-103 dispatch).  Transport state
+        (broker connection, sockets) is shared; transfer stats are
+        per-scope."""
+        import copy
+
+        sub = copy.copy(self)
+        sub.job_id = f"{self.job_id}.{sub_id}"
+        sub.stats = TransferStat()
+        return sub
+
     def remote(self, obj: Any, name: str, tag: str, dst: Party):
         if self.auth is not None:
             self.auth.check(name, self.local.role, dst.role)

@@ -100,6 +100,22 @@ class SecureAggregateArgs:
 
 
 @dataclasses.dataclass
+class CVParam:
+    """Cross-validation parameters (the reference ModelBase's
+    cross-validation dispatch arm, federatedml/model_base.py:74-103,
+    with FATE's CrossValidationParam surface)."""
+
+    need_cv: bool = False
+    n_splits: int = 5
+    shuffle: bool = True
+    random_seed: int = 0
+
+    def check(self):
+        if self.need_cv and self.n_splits < 2:
+            raise ValueError("cv.n_splits must be >= 2")
+
+
+@dataclasses.dataclass
 class HomoNNParam:
     """The JZFHomoNN component parameter set (jzf_homo_nn_param.py:57-98)."""
 
@@ -121,6 +137,7 @@ class HomoNNParam:
     # stopping with `and False` (enter_point.py:192); opt back in here
     label_pad_id: Optional[int] = None  # sequence workloads: mask loss
     # at padded positions (the nn_define's Embedding mask_zero: true)
+    cv: CVParam = dataclasses.field(default_factory=CVParam)
 
     def to_dict(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -132,6 +149,9 @@ class HomoNNParam:
         d = dict(d)
         d["secure_aggregate_args"] = SecureAggregateArgs.from_dict(
             d.get("secure_aggregate_args", {}))
+        cv = d.get("cv")
+        if isinstance(cv, dict):
+            d["cv"] = CVParam(**cv)
         return cls(**d)
 
     def check(self):
@@ -143,6 +163,7 @@ class HomoNNParam:
         if self.max_iter <= 0 or self.batch_size <= 0:
             raise ValueError("max_iter and batch_size must be positive")
         self.secure_aggregate_args.check()
+        self.cv.check()
         if self.sparsity != 1.0:
             # sparsification composes with flashe (compact-counter masks),
             # plain, and paillier (encrypted-zero filler — the reference's

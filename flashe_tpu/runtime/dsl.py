@@ -196,6 +196,15 @@ def translate_homo_nn(ap: dict) -> Tuple[HomoNNParam, bool]:
         eps=float(early.get("eps", 1e-4)),
         early_stop_enabled=bool(ap.get("early_stop_enabled", False)),
     )
+    cv_in = ap.get("cv_param") or ap.get("cv")
+    if isinstance(cv_in, dict):
+        from flashe_tpu.runtime.config import CVParam
+
+        param.cv = CVParam(
+            need_cv=bool(cv_in.get("need_cv", True)),
+            n_splits=int(cv_in.get("n_splits", 5)),
+            shuffle=bool(cv_in.get("shuffle", True)),
+            random_seed=int(cv_in.get("random_seed", 0)))
     if (param.secure_aggregate not in ("plain", "ckks", "additive")
             and param.secure_aggregate_args.quantize is None):
         # reference confs always carry quantize args for these schemes
@@ -300,6 +309,17 @@ def client_pipeline(trv, components: List[ComponentSpec], conf: JobConf,
                                             "version": ver},
                                   "aggregate_iter": client.aggregate_iter,
                                   "n": int(len(x))}
+            elif param.cv.need_cv:
+                # the reference ModelBase's cross-validation arm
+                # (model_base.py:74-103): k federated fits, each fold in
+                # its own federation scope
+                from flashe_tpu.nn.cross_validation import cv_fit_client
+
+                if y is None:
+                    raise ValueError(f"{comp.name}: cv needs labels")
+                out[comp.name] = {
+                    "cv": cv_fit_client(cls, param, trv, x, y, seed=seed)}
+                continue
             else:
                 if y is None:
                     raise ValueError(f"{comp.name}: training needs labels")
@@ -352,6 +372,11 @@ def arbiter_pipeline(trv, components: List[ComponentSpec],
         if comp.module in ("JZFHomoNN", "HomoNN"):
             ap = conf.component_param(comp.name, "arbiter", 0)
             param, _ = translate_homo_nn(ap)
+            if param.cv.need_cv:
+                from flashe_tpu.nn.cross_validation import cv_fit_arbiter
+
+                out[comp.name] = cv_fit_arbiter(HomoNNArbiter, param, trv)
+                continue
             arbiter = HomoNNArbiter(param)
             out[comp.name] = {"loss_history": arbiter.fit(trv)}
     return out
