@@ -23,6 +23,68 @@ import numpy as np
 BASELINE_ELEMENTS_PER_SEC = 262_144 / (2.42 + 7.33 + 2.42)  # 21,540/s
 
 
+def true_loop_time(step, x0, r1=3, r2=12, tries=2):
+    """Robust device timing for this container's remote-TPU tunnel.
+
+    The axon platform's `block_until_ready` can return before execution
+    finishes when dispatches are queued (measured: a 70 ms computation
+    "blocking" in 0.2 ms), so dispatch-N-then-block-once timing silently
+    under-reports.  This helper instead:
+
+    - chains `step(i, carry)` inside ONE jitted `lax.fori_loop` (data
+      dependence defeats overlap and dead-code elimination),
+    - forces completion by fetching one element to the host,
+    - runs at two rep counts and returns the slope
+      (t(r2) - t(r1)) / (r2 - r1), cancelling the constant dispatch +
+      fetch latency (~30 ms through the tunnel).
+
+    Returns seconds per step.
+    """
+    import jax
+
+    @jax.jit
+    def loop(x, reps):
+        return jax.lax.fori_loop(0, reps, step, x)
+
+    def run(r):
+        t0 = time.perf_counter()
+        out = loop(x0, r)
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))  # true completion
+        return time.perf_counter() - t0
+
+    run(r1)  # compile + warm
+    t1 = min(run(r1) for _ in range(tries))
+    t2 = min(run(r2) for _ in range(tries))
+    return max(t2 - t1, 1e-9) / (r2 - r1)
+
+
+def true_call_time(fn, x0, r1=2, r2=8, tries=2):
+    """Slope timing for host-driven call chains (cipher *methods* whose
+    python glue can't trace into a fori_loop).  Chains x through fn so
+    calls can't overlap, forces completion with a host fetch, and
+    differences two rep counts to cancel the tunnel's constant sync +
+    fetch latency.  Per-call dispatch overhead is included (it is part
+    of the op's real cost when driven this way)."""
+    import jax
+
+    def run(r):
+        t0 = time.perf_counter()
+        x = x0
+        for i in range(r):
+            x = fn(i, x)
+        jax.block_until_ready(x)
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf.ravel()[0])  # 4-byte fetch -> true completion
+        return time.perf_counter() - t0
+
+    run(1)  # warm
+    t1 = min(run(r1) for _ in range(tries))
+    t2 = min(run(r2) for _ in range(tries))
+    return max(t2 - t1, 1e-9) / (r2 - r1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--elements", type=int, default=4_194_304,
@@ -161,33 +223,38 @@ def main():
 
     assert bool(check(out, q)), "round mismatch"
 
-    # timed phases: all reps (fresh iter index each, to dodge caching
-    # artifacts) are launched back-to-back and blocked ONCE, so per-call
-    # host<->device round-trips (large through remote-TPU tunnels) are
-    # amortized and async dispatch can't launder short phases.
-    cts_list = []
-    t0 = time.perf_counter()
-    for r in range(1, args.reps + 1):
-        cts_list.append(encrypt_all(q, iters[r]))
-    jax.block_until_ready(cts_list)
-    t_enc = (time.perf_counter() - t0) / args.reps
+    # timed phases: each phase loops inside ONE jit with a data-chained
+    # carry and completion is forced by a host fetch; the reported time is
+    # the slope between two rep counts (true_loop_time) — see that
+    # helper's docstring for why dispatch-then-block timing is unsafe on
+    # this platform.
+    r1, r2 = 3, max(args.reps, 6)
 
-    aggs = []
-    t0 = time.perf_counter()
-    for cts in cts_list:
-        aggs.append(aggregate(cts))
-    jax.block_until_ready(aggs)
-    t_agg = (time.perf_counter() - t0) / args.reps
+    def enc_step(i, acc):
+        # chain: next input depends on the previous ciphertext (1 extra
+        # xor per element vs the 441-op mask stream — negligible)
+        return enc_one(acc ^ (q[0] & jnp.uint32(1)), i, 0)
 
-    decs = []
-    t0 = time.perf_counter()
-    for r in range(1, args.reps + 1):
-        decs.append(decrypt(aggs[r - 1], iters[r]))
-    jax.block_until_ready(decs)
-    t_dec = (time.perf_counter() - t0) / args.reps
+    t_enc1 = true_loop_time(enc_step, q[0], r1=r1, r2=r2)
+
+    cts0 = encrypt_all(q, iters[0])
+
+    def agg_step(i, acc):
+        # perturb the inputs with the carry so the reduction cannot be
+        # hoisted; the add fuses into the reduce (same HBM traffic)
+        return jnp.sum(cts0 + (acc & jnp.uint32(1))[None, :], axis=0,
+                       dtype=jnp.uint32) & mask
+
+    t_agg = true_loop_time(agg_step, cts0[0], r1=r1, r2=r2)
+
+    def dec_step(i, acc):
+        return dec_one(acc, i)
+
+    t_dec = true_loop_time(dec_step, out, r1=r1, r2=r2)
     # critical path comparable to the reference table: one client's encrypt
     # + the 10-ct aggregate + decrypt
-    round_s = t_enc / c + t_agg + t_dec
+    t_enc = t_enc1 * c  # all-clients figure for the detail block
+    round_s = t_enc1 + t_agg + t_dec
     eps = n / round_s
     result = {
         "metric": "flashe_enc_agg_dec_elements_per_sec_per_chip",
@@ -221,13 +288,20 @@ def run_extra_mode(args):
     rng = np.random.RandomState(0)
     seed = bytes(range(32))
 
+    def fetch(out):
+        """block + 4-byte host fetch: the only reliable completion
+        barrier on this platform (see true_loop_time)."""
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[0])
+
     def timed(f, reps=3):
         out = f()  # warmup/compile
-        jax.block_until_ready(out)
+        fetch(out)
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = f()
-            jax.block_until_ready(out)
+            out = f()  # device executes in order; one final fetch
+        fetch(out)     # bounds all reps
         return (time.perf_counter() - t0) / reps, out
 
     if args.mode == "roundtrip1m":
@@ -240,8 +314,12 @@ def run_extra_mode(args):
         c.set_iter_index(0)
         q = jnp.asarray(
             rng.randint(0, 1 << 31, (n, 2), dtype=np.int64).astype(np.uint32))
-        t_enc, ct = timed(lambda: c.encrypt(q))
-        t_dec, _ = timed(lambda: c.decrypt(ct, idx_list=[0]))
+        # slope timing (constant tunnel latency cancels): chain each
+        # call's input on the previous output
+        t_enc = true_call_time(lambda i, x: c.encrypt(x), q)
+        ct = c.encrypt(q)
+        t_dec = true_call_time(
+            lambda i, x: c.decrypt(x, idx_list=[0]), ct)
         eps = n / (t_enc + t_dec)
         print(json.dumps({
             "metric": "flashe64_roundtrip_elements_per_sec",
@@ -253,47 +331,33 @@ def run_extra_mode(args):
         # reported figure is the ONLINE encrypt+agg+dec time (the paper's
         # "<0.1 s online crypto cost" claim)
         n, m, nc = 10_000_000, 20, 10
-        ciphers = []
-        for i in range(nc):
-            ci = FlasheCipher(m)
-            ci.idx = i
-            ci.set_num_clients(nc)
-            ci.set_num_params(n)
-            ci.generate_prp_seed(assigned_seed=seed)
-            ci.set_iter_index(0)
-            ciphers.append(ci)
         q = jnp.asarray(
             rng.randint(0, 1 << 16, n, dtype=np.int64).astype(np.uint32))
 
-        def online_round(it):
-            # offline phase (not timed): precompute this round's masks
-            # (prepare_encrypt targets iter+1, jzf_flashe.py:599-631)
-            for ci in ciphers:
-                ci.set_iter_index(it - 1)
-                ci.prepare_encrypt()
-                ci.set_iter_index(it)
-                ci.prepare_decrypt()
-            # (on the fused-Pallas TPU path prepare_* is a documented
-            # no-op — regenerating masks in-kernel beats reading
-            # precomputed ones back from HBM — so there may be nothing
-            # to wait on; the online time below is then the full fused
-            # enc+agg+dec, which is the honest online cost either way)
-            pending = [ci._prepared[("enc", it)][0] for ci in ciphers
-                       if ("enc", it) in ci._prepared]
-            if pending:
-                jax.block_until_ready(pending)
-            t0 = time.perf_counter()
-            agg = None
-            for ci in ciphers:
-                ct = ci.encrypt(q)
-                agg = ct if agg is None else lane_add(agg, ct, m)
-            dec = ciphers[0].decrypt(agg)
-            dec.block_until_ready()
-            return time.perf_counter() - t0
+        # offline phase (not timed): materialize every mask stream this
+        # round needs, exactly what prepare_encrypt/prepare_decrypt stash
+        # (jzf_flashe.py:599-666) — streams 0..nc (client idx i uses
+        # i and i+1; aggregate-decrypt uses nc and 0)
+        from flashe_tpu.ops import aes as aes_mod
+        from flashe_tpu.ops.masks import prp_lane_stream
 
-        online_round(1)  # compile
-        ts = [online_round(r) for r in range(2, 5)]
-        t_online = float(np.mean(ts))
+        rk = jnp.asarray(aes_mod.key_schedule(seed).astype(np.int32))
+        lane_mask = np.uint32((1 << m) - 1)
+        streams = [prp_lane_stream(rk, 0, i, n, m) for i in range(nc + 1)]
+        jax.block_until_ready(streams)
+
+        # online phase: apply prepared masks + aggregate + decrypt; timed
+        # with the chained-loop slope (see true_loop_time) so the tunnel's
+        # dispatch/fetch latency cancels
+        def online_step(_, qv):
+            agg = None
+            for i in range(nc):
+                ct = (qv + streams[i] - streams[i + 1]) & lane_mask
+                agg = ct if agg is None else (agg + ct) & lane_mask
+            dec = (agg + streams[nc] - streams[0]) & lane_mask
+            return dec ^ (qv & jnp.uint32(1))  # chain
+
+        t_online = true_loop_time(online_step, q, r1=2, r2=6)
         # reference: <0.1 s online crypto for 1.2M params (README.md:23);
         # per-element ratio against that claim
         ref_per_elem = 0.1 / 1_206_590
@@ -312,12 +376,16 @@ def run_extra_mode(args):
         ctx = modmath.MontCtx(pub.nsquare)
         rs = [rng.randint(1, 1 << 62) for _ in range(batch)]
         r = jnp.asarray(modmath.to_limbs(rs, ctx.L))
-        ebits = jnp.asarray(modmath.exponent_bits(pub.n, pub.n.bit_length()))
+        # 4-bit fixed-window scan — what PaillierCipher.encrypt runs
+        # (crypto/paillier.py): ~1.6x fewer Montgomery products than the
+        # binary square-and-always-multiply, still constant-time
+        edig = jnp.asarray(
+            modmath.exponent_digits(pub.n, pub.n.bit_length()))
 
-        def modexp():
-            return modmath.mont_exp(ctx, modmath.mont_from(ctx, r), ebits)
-
-        t, _ = timed(modexp, reps=1)
+        base = modmath.mont_from(ctx, r)
+        t = true_call_time(
+            lambda i, x: modmath.mont_exp_window(ctx, x, edig), base,
+            r1=1, r2=2, tries=1)
         cts_per_s = batch / t
         elems_per_s = cts_per_s * 100  # b100 batching
         # reference: batched Paillier encrypt 4.69 s @ 262,144 elements
@@ -451,16 +519,26 @@ def run_table2(args):
                   f"enc={t_enc} add={t_add} dec={t_dec} ok={ok}",
                   flush=True)
 
+    def _done(out):
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(leaf.ravel()[0])  # true completion (tunnel-safe)
+
     def timeit(f, warm=True):
         """Steady-state timing: one untimed warm call first (XLA compile
         is per-shape and amortizes over a training run; the reference's
-        library crypto had no JIT to pay).  Device results are blocked on;
-        host results (object arrays) are synchronous already."""
+        library crypto had no JIT to pay).  Device results are blocked on
+        AND host-fetched (block alone can return early through the axon
+        tunnel — see true_loop_time); host results (object arrays) are
+        synchronous already.  Sub-ms device cells therefore carry the
+        ~30 ms fetch latency as an upper bound — still orders under the
+        reference's seconds-scale cells."""
         if warm:
-            jax.block_until_ready(f())
+            _done(f())
         t0 = time.perf_counter()
         out = f()
-        jax.block_until_ready(out)
+        _done(out)
         return time.perf_counter() - t0, out
 
     # ---------------- FLASHE (all sizes) ---------------------------------
@@ -638,39 +716,29 @@ def run_roofline(args):
 
     from flashe_tpu.ops import aes as aes_mod
 
-    def timed(f, reps=3):
-        out = f()
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = f()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps, out
-
-    # ---- 1. VPU ceiling: 256 dependent uint32 ops/element, one kernel --
+    # ---- 1. VPU ceiling: 320 dependent uint32 ops/element, one kernel --
     n_vpu = 8_388_608
     CONSTS = np.random.RandomState(7).randint(
         1, 1 << 31, 64, dtype=np.uint32)
 
-    @jax.jit
-    def chain(x):
-        for i in range(64):
-            c = jnp.uint32(CONSTS[i])
+    def chain_step(i, x):
+        for k in range(64):
+            c = jnp.uint32(CONSTS[k])
             x = x ^ c                      # 1
             x = x + (x >> jnp.uint32(7))   # 2 (shift + add)
-            x = x ^ (x << jnp.uint32(3))   # 2 (shift + xor)... 5 ops/iter
+            x = x ^ (x << jnp.uint32(3))   # 2 (shift + xor): 5 ops/iter
         return x
 
     OPS_PER_ELEM_CHAIN = 64 * 5
     x0 = jnp.arange(n_vpu, dtype=jnp.uint32)
-    t_vpu, _ = timed(lambda: chain(x0), reps=5)
+    t_vpu = true_loop_time(chain_step, x0, r1=2, r2=10)
     vpu_ops = n_vpu * OPS_PER_ELEM_CHAIN / t_vpu
 
     # ---- 2. HBM stream bandwidth ---------------------------------------
     n_hbm = 268_435_456  # 1 GiB of uint32
     y0 = jnp.arange(n_hbm, dtype=jnp.uint32)
-    incr = jax.jit(lambda v: v + jnp.uint32(1))
-    t_hbm, _ = timed(lambda: incr(y0), reps=5)
+    t_hbm = true_loop_time(lambda i, v: v + jnp.uint32(1), y0,
+                           r1=2, r2=8)
     hbm_bw = 2 * 4 * n_hbm / t_hbm  # read + write
 
     # ---- 3. achieved kernels -------------------------------------------
@@ -699,13 +767,15 @@ def run_roofline(args):
     q = jnp.asarray(np.random.RandomState(0).randint(
         0, 1 << 16, n).astype(np.uint32))
     it0 = jnp.asarray(0, jnp.int32)
-    t_enc, ct = timed(lambda: enc(q, it0), reps=5)
-    t_dec, _ = timed(lambda: dec(ct, it0), reps=5)
+    t_enc = true_loop_time(
+        lambda i, x: enc(x ^ (q & jnp.uint32(1)), i), q)
+    ct = enc(q, it0)
+    t_dec = true_loop_time(lambda i, x: dec(x, i), ct)
 
     cts = jnp.stack([ct] * nc)
-    agg = jax.jit(
-        lambda c: jnp.sum(c, axis=0, dtype=jnp.uint32) & lane_mask)
-    t_agg, _ = timed(lambda: agg(cts), reps=5)
+    t_agg = true_loop_time(
+        lambda i, x: jnp.sum(cts + (x & jnp.uint32(1))[None, :], axis=0,
+                             dtype=jnp.uint32) & lane_mask, ct)
 
     # Paillier modexp (smaller batch than --mode paillier to keep the
     # roofline run short; throughput is batch-insensitive once the VPU
@@ -721,8 +791,9 @@ def run_roofline(args):
     r = jnp.asarray(modmath.to_limbs(
         [rng.randint(1, 1 << 62) for _ in range(batch)], ctx.L))
     ebits = jnp.asarray(modmath.exponent_bits(pub.n, pub.n.bit_length()))
-    t_exp, _ = timed(lambda: modmath.mont_exp(
-        ctx, modmath.mont_from(ctx, r), ebits), reps=1)
+    t_exp = true_call_time(
+        lambda i, x: modmath.mont_exp(ctx, x, ebits),
+        modmath.mont_from(ctx, r), r1=1, r2=2, tries=1)
     if not on_tpu:
         # the modexp fraction below is only meaningful at 2048 bits
         OPS_PER_CT_MODEXP_EFF = 8.1e8 * (kbits / 2048) ** 3

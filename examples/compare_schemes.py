@@ -56,14 +56,24 @@ EB, FACTOR = 16, 4           # 16-bit elements + ceil(log2(11)) pad bits
 M = EB + FACTOR              # 20-bit lanes
 
 
-def timeit(f, warm=True):
+def _done(out):
+    """block + 4-byte host fetch: block_until_ready alone can return
+    before execution completes through the axon remote-TPU tunnel (see
+    bench.true_loop_time), so every timing forces a real fetch."""
     import jax
 
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+        np.asarray(leaf.ravel()[0])
+
+
+def timeit(f, warm=True):
     if warm:
-        jax.block_until_ready(f())
+        _done(f())
     t0 = time.perf_counter()
     out = f()
-    jax.block_until_ready(out)
+    _done(out)
     return time.perf_counter() - t0, out
 
 

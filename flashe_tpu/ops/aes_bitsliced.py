@@ -257,6 +257,136 @@ def bitsliced_counter_words(round_keys, iter_index, stream_idx,
     return words
 
 
+def bitsliced_counter_words_flat(round_keys, iter_index, stream_idx,
+                                 ngroups: int, begin_block=0,
+                                 two_d: bool = False):
+    """Same contract/output as bitsliced_counter_words, but the AES state
+    lives as 128 *independent* (G,) planes in a python list instead of a
+    stacked (16, 8, G) tensor.
+
+    Why: on Mosaic, the stacked form's per-round restacks
+    (jnp.stack/slice/reshape in sub_bytes / shift_rows / mix_columns) are
+    physical VMEM copies that dominate the cheap XOR/AND gates.  With
+    flat planes, ShiftRows and all byte/bit rewiring become python list
+    renaming (zero device ops) and every remaining op is a pure
+    elementwise XOR/AND on a (G,) vector — measured ~2x faster inside
+    the fused Pallas kernel at the same G.  Trace size is larger (the
+    16-byte S-box loop unrolls), which only costs one-time compilation.
+
+    Plane index convention: planes[k * 8 + i] = bit i (LSB-first) of
+    state byte k.
+
+    two_d=True shapes each plane (8, cols) with cols = ngroups // 8
+    (group g lives at C-order position [g // cols, g % cols]), so one
+    plane op fills a whole (8, 128) vreg when ngroups = 1024 instead of
+    a single sublane row — the layout the fused Pallas kernel uses.
+    Output words are then (32, 8, cols).
+    """
+    iter_index = jnp.asarray(iter_index, jnp.int32)
+    stream_idx = jnp.asarray(stream_idx, jnp.int32)
+    base = jnp.asarray(begin_block, jnp.int32)
+    if two_d:
+        assert ngroups % 8 == 0, "two_d planes need ngroups % 8 == 0"
+        pshape = (8, ngroups // 8)
+    else:
+        pshape = (ngroups,)
+    group_base = (base + 32 * jnp.arange(ngroups, dtype=jnp.int32)
+                  ).reshape(pshape)
+    zeros = jnp.zeros(pshape, jnp.uint32)
+
+    def scalar_plane(value, bit):
+        b = ((value >> bit) & 1).astype(jnp.uint32) * _FULL
+        return jnp.broadcast_to(b, pshape)
+
+    planes = []
+    for k in range(4):      # bytes 0-3: iter_index BE
+        v = (iter_index >> (8 * (3 - k))) & 0xFF
+        planes.extend(scalar_plane(v, i) for i in range(8))
+    for k in range(4):      # bytes 4-7: stream_idx BE
+        v = (stream_idx >> (8 * (3 - k))) & 0xFF
+        planes.extend(scalar_plane(v, i) for i in range(8))
+    for k in range(8):      # bytes 8-15: 64-bit counter BE
+        for i in range(8):
+            bitpos = (7 - k) * 8 + i
+            if bitpos < 5:
+                planes.append(jnp.full(
+                    pshape, _LOW_BIT_PLANES[bitpos], jnp.uint32))
+            elif bitpos < 31:
+                planes.append(
+                    ((group_base >> bitpos) & 1).astype(jnp.uint32) * _FULL)
+            else:
+                planes.append(zeros)
+
+    # round-key bit scalars (broadcast at the XOR site)
+    rk = jnp.asarray(round_keys, jnp.int32)
+
+    def ark(planes, r):
+        out = []
+        for k in range(16):
+            byte = rk[r, k]
+            for i in range(8):
+                bit = ((byte >> i) & 1).astype(jnp.uint32) * _FULL
+                out.append(planes[k * 8 + i] ^ bit)
+        return out
+
+    def sub_bytes(planes):
+        out = [None] * 128
+        for k in range(16):
+            bits = [planes[k * 8 + i] for i in range(8)]
+            sub = _sbox_planes(bits)
+            for i in range(8):
+                out[k * 8 + i] = sub[i]
+        return out
+
+    perm = [int(p) for p in aes_mod._SHIFT_ROWS]
+
+    def shift_rows(planes):  # pure renaming: zero device ops
+        return [planes[perm[k] * 8 + i] for k in range(16) for i in range(8)]
+
+    def xtime(b):  # b: list of 8 planes, LSB-first
+        b7 = b[7]
+        return [b7, b[0] ^ b7, b[1], b[2] ^ b7, b[3] ^ b7, b[4], b[5], b[6]]
+
+    def mix_columns(planes):
+        out = [None] * 128
+        for c in range(4):
+            s = [[planes[(4 * c + r) * 8 + i] for i in range(8)]
+                 for r in range(4)]
+            x = [xtime(s[r]) for r in range(4)]
+            for i in range(8):
+                out[(4 * c + 0) * 8 + i] = (
+                    x[0][i] ^ x[1][i] ^ s[1][i] ^ s[2][i] ^ s[3][i])
+                out[(4 * c + 1) * 8 + i] = (
+                    s[0][i] ^ x[1][i] ^ x[2][i] ^ s[2][i] ^ s[3][i])
+                out[(4 * c + 2) * 8 + i] = (
+                    s[0][i] ^ s[1][i] ^ x[2][i] ^ x[3][i] ^ s[3][i])
+                out[(4 * c + 3) * 8 + i] = (
+                    x[0][i] ^ s[0][i] ^ s[1][i] ^ s[2][i] ^ x[3][i])
+        return out
+
+    planes = ark(planes, 0)
+    for r in range(1, 14):
+        planes = sub_bytes(planes)
+        planes = shift_rows(planes)
+        planes = mix_columns(planes)
+        planes = ark(planes, r)
+    planes = sub_bytes(planes)
+    planes = shift_rows(planes)
+    planes = ark(planes, 14)
+
+    words = []
+    for w in range(4):
+        plane_list = []
+        for t in range(32):
+            bitpos = 32 * w + t
+            k = 15 - (bitpos >> 3)
+            i = bitpos & 7
+            plane_list.append(planes[k * 8 + i])
+        tr = _transpose32(plane_list)
+        words.append(jnp.stack(tr, axis=0))  # (32, ngroups)
+    return words
+
+
 def lanes_permuted(words, int_bits: int):
     """Lane extraction in the kernel-native permuted layout.
 

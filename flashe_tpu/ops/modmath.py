@@ -167,12 +167,34 @@ def _cond_sub_n(t: jnp.ndarray, n_limbs: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(need[..., None], sub, t)
 
 
+def _use_pallas(a) -> bool:
+    """Route mont_mul through the VMEM-resident Pallas kernel on TPU.
+
+    The XLA CIOS loop round-trips the accumulator through HBM every
+    step (HBM-bound); the kernel keeps it in VMEM (compute-bound,
+    ~20x; flashe_tpu/ops/pallas_modmath.py)."""
+    try:
+        import jax.core  # noqa: F401
+
+        if isinstance(a, jax.core.Tracer):
+            dev = jax.devices()[0].platform
+        else:
+            dev = list(a.devices())[0].platform
+        return dev == "tpu"
+    except Exception:
+        return False
+
+
 def mont_mul(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^-1 mod n.
 
     a, b: (B, L) normalized uint32 limbs, values < n.  Returns (B, L)
     normalized, value < n.
     """
+    if a.ndim == 2 and a.shape[0] >= 8 and _use_pallas(a):
+        from flashe_tpu.ops.pallas_modmath import pallas_mont_mul
+
+        return pallas_mont_mul(ctx, a, b)
     L = ctx.L
     n_limbs = ctx.n_limbs
     n_prime = jnp.uint32(ctx.n_prime)

@@ -34,18 +34,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flashe_tpu.ops.aes_bitsliced import (
-    bitsliced_counter_words, lanes_permuted,
+    bitsliced_counter_words, bitsliced_counter_words_flat, lanes_permuted,
 )
 from flashe_tpu.ops.masks import merge_size
 
 __all__ = ["pallas_mask_apply", "pallas_encrypt", "pallas_decrypt",
            "tile_lanes_for"]
 
-_GROUPS_PER_TILE = 512  # 512 groups = 16384 blocks/tile; state ~0.5MB VMEM
+# 1024 groups = 32768 blocks/tile.  The AES state is 128 flat planes of
+# (8, 128) uint32 — exactly one vreg per plane, so every gate is one
+# full-width VPU op (see bitsliced_counter_words_flat); ~4 MB VMEM/tile.
+_GROUPS_PER_TILE = 1024
+_PL_SUB = 8  # plane sublane dim
 
 
-def tile_lanes_for(int_bits: int) -> int:
-    return 32 * _GROUPS_PER_TILE * merge_size(int_bits)
+def _groups(interpret: bool) -> int:
+    # interpret mode (CPU tests) executes the unrolled AES trace
+    # elementwise in python — keep its tiles small; real TPU tiles use
+    # the full vreg-aligned size
+    return 64 if interpret else _GROUPS_PER_TILE
+
+
+def tile_lanes_for(int_bits: int, interpret: bool = False) -> int:
+    return 32 * _groups(interpret) * merge_size(int_bits)
 
 
 def _round_up(n, m):
@@ -53,17 +64,26 @@ def _round_up(n, m):
 
 
 def _kernel(q_ref, it_ref, add_idx_ref, minus_idx_ref, base_ref, rk_ref,
-            out_ref, *, int_bits: int):
+            out_ref, *, int_bits: int, groups: int, flat: bool):
     pid = pl.program_id(0)
-    begin_block = base_ref[0] + pid * (_GROUPS_PER_TILE * 32)
+    begin_block = base_ref[0] + pid * (groups * 32)
     it = it_ref[0]
     rk = rk_ref[:]
-    add = lanes_permuted(
-        bitsliced_counter_words(rk, it, add_idx_ref[0], _GROUPS_PER_TILE,
-                                begin_block), int_bits)
-    minus = lanes_permuted(
-        bitsliced_counter_words(rk, it, minus_idx_ref[0], _GROUPS_PER_TILE,
-                                begin_block), int_bits)
+
+    def stream(idx):
+        if flat:
+            # TPU fast path: 128 independent (8, cols) planes, one vreg
+            # per gate op (see bitsliced_counter_words_flat)
+            return bitsliced_counter_words_flat(
+                rk, it, idx, groups, begin_block, two_d=True)
+        # interpret path (CPU tests): the stacked circuit traces ~16x
+        # fewer ops — the flat trace is prohibitive to interpret; the
+        # two are pinned bit-identical in tests/test_bitsliced.py
+        words = bitsliced_counter_words(rk, it, idx, groups, begin_block)
+        return [w.reshape(32, _PL_SUB, groups // _PL_SUB) for w in words]
+
+    add = lanes_permuted(stream(add_idx_ref[0]), int_bits)
+    minus = lanes_permuted(stream(minus_idx_ref[0]), int_bits)
     m = np.uint32((1 << int_bits) - 1) if int_bits < 32 else np.uint32(
         0xFFFFFFFF)
     out_ref[0] = (q_ref[0] + add - minus) & m
@@ -72,27 +92,31 @@ def _kernel(q_ref, it_ref, add_idx_ref, minus_idx_ref, base_ref, rk_ref,
 @functools.lru_cache(maxsize=None)
 def _build(count: int, int_bits: int, interpret: bool):
     merge = merge_size(int_bits)
-    tile = tile_lanes_for(int_bits)
+    groups = _groups(interpret)
+    tile = tile_lanes_for(int_bits, interpret)
     padded = _round_up(count, tile)
     n_tiles = padded // tile
 
-    kern = functools.partial(_kernel, int_bits=int_bits)
+    kern = functools.partial(_kernel, int_bits=int_bits, groups=groups,
+                             flat=not interpret)
 
-    def _call(q4, *rest):
+    cols = groups // _PL_SUB
+    blk = (1, merge, 32, _PL_SUB, cols)
+
+    def _call(q5, *rest):
         # out varies over exactly the mesh axes the inputs do: propagate
         # vma so the kernel composes with shard_map(check_vma=True)
         # (the mesh-sharded aggregation path, parallel/sharded.py)
         vma = frozenset()
-        for x in (q4, *rest):
+        for x in (q5, *rest):
             vma |= getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
         out_shape = jax.ShapeDtypeStruct(
-            (n_tiles, merge, 32, _GROUPS_PER_TILE), jnp.uint32, vma=vma)
+            (n_tiles, merge, 32, _PL_SUB, cols), jnp.uint32, vma=vma)
         return pl.pallas_call(
             kern,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, merge, 32, _GROUPS_PER_TILE),
-                             lambda i: (i, 0, 0, 0),
+                pl.BlockSpec(blk, lambda i: (i, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # iter scalar
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # add idx
@@ -100,27 +124,27 @@ def _build(count: int, int_bits: int, interpret: bool):
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # base block offset
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # round keys
             ],
-            out_specs=pl.BlockSpec((1, merge, 32, _GROUPS_PER_TILE),
-                                   lambda i: (i, 0, 0, 0),
+            out_specs=pl.BlockSpec(blk, lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=out_shape,
             interpret=interpret,
-        )(q4, *rest)
+        )(q5, *rest)
 
     def run(q, it, add_idx, minus_idx, base_block, rk):
         qp = jnp.zeros((padded,), jnp.uint32).at[:count].set(q)
-        # linear lane order (g, j, j0) -> kernel-native (j0, j, g) per tile
-        q4 = qp.reshape(n_tiles, _GROUPS_PER_TILE, 32, merge).transpose(
-            0, 3, 2, 1)
-        out4 = _call(
-            q4,
+        # linear lane order (s, lc, j, j0) -> kernel-native (j0, j, s, lc)
+        # per tile, where group g = s * cols + lc (the 2-D plane layout)
+        q5 = qp.reshape(n_tiles, _PL_SUB, cols, 32, merge).transpose(
+            0, 4, 3, 1, 2)
+        out5 = _call(
+            q5,
             jnp.asarray([it], jnp.int32),
             jnp.asarray([add_idx], jnp.int32),
             jnp.asarray([minus_idx], jnp.int32),
             jnp.asarray([base_block], jnp.int32),
             jnp.asarray(rk, jnp.int32),
         )
-        out = out4.transpose(0, 3, 2, 1).reshape(padded)
+        out = out5.transpose(0, 3, 4, 2, 1).reshape(padded)
         return out[:count]
 
     return jax.jit(run)

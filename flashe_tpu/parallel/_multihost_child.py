@@ -102,6 +102,7 @@ def main():
             out = multihost.multihost_encrypted_aggregate(
                 mesh, rk, q_local, jnp.int32(0), INT_BITS, n_clients)
         out.block_until_ready()
+        np.asarray(out.addressable_shards[0].data).ravel()[:1]  # completion
         dt = (time.perf_counter() - t0) / reps
         print(f"BENCH process={args.process_id} round_s={dt:.6f} "
               f"elements={n} clients={n_clients}")

@@ -42,3 +42,24 @@ def test_bitsliced_sharded_offset():
         bitsliced_prp_lane_stream(rk, 0, 1, 32 * merge, int_bits,
                                   begin_block=32))
     np.testing.assert_array_equal(shard, full[32 * merge: 64 * merge])
+
+
+def test_flat_planes_match_stacked():
+    """The flat-plane circuit (TPU fast path of the fused kernel) is
+    bit-identical to the stacked circuit, in both 1-D and 2-D plane
+    layouts."""
+    import jax.numpy as jnp
+
+    from flashe_tpu.ops import aes as aes_mod
+    from flashe_tpu.ops import aes_bitsliced as ab
+
+    rk = jnp.asarray(
+        aes_mod.key_schedule(bytes(range(32))).astype(np.int32))
+    ref = ab.bitsliced_counter_words(rk, 3, 7, 8, 64)
+    flat = ab.bitsliced_counter_words_flat(rk, 3, 7, 8, 64)
+    for a, b in zip(ref, flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    flat2 = ab.bitsliced_counter_words_flat(rk, 3, 7, 8, 64, two_d=True)
+    for a, b in zip(ref, flat2):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b).reshape(32, 8))

@@ -104,3 +104,31 @@ def test_mont_exp_window_matches_pow():
     got = modmath.from_limbs(
         np.asarray(modmath.mont_to(ctx, modmath.mont_exp_window(ctx, A, digs))))
     assert got == [pow(x, e, n) for x in a]
+
+
+def test_pallas_mont_mul_matches_xla():
+    """The VMEM-resident Pallas CIOS kernel is bit-identical to the XLA
+    mont_mul (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from flashe_tpu.ops import modmath
+    from flashe_tpu.ops.pallas_modmath import pallas_mont_mul
+
+    rng = np.random.RandomState(5)
+    n = 0
+    while n % 2 == 0:
+        n = int(rng.randint(1, 1 << 62)) | (1 << 511)
+    ctx = modmath.MontCtx(n)
+    vals_a = [int(rng.randint(0, 1 << 60)) % n for _ in range(9)]
+    vals_b = [int(rng.randint(0, 1 << 60)) % n for _ in range(9)]
+    a = jnp.asarray(modmath.to_limbs(vals_a, ctx.L))
+    b = jnp.asarray(modmath.to_limbs(vals_b, ctx.L))
+    want = modmath.mont_mul(ctx, a, b)  # XLA path (CPU)
+    got = pallas_mont_mul(ctx, a, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # and the math itself: a*b*R^-1 mod n
+    want_ints = [(va * vb * pow(ctx.R, -1, n)) % n
+                 for va, vb in zip(vals_a, vals_b)]
+    np.testing.assert_array_equal(
+        np.asarray(modmath.from_limbs(np.asarray(got)), dtype=object),
+        np.asarray(want_ints, dtype=object))
