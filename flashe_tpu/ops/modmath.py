@@ -159,6 +159,10 @@ class MontCtx:
         self.n_limbs = jnp.asarray(to_limbs([n], self.L)[0])
         self.r2_limbs = jnp.asarray(to_limbs([self.r2], self.L)[0])
         self.one_mont = jnp.asarray(to_limbs([self.R % n], self.L)[0])
+        # per-context jitted exponent scans (see mont_exp/mont_exp_window:
+        # eager dispatch of thousands of mont_muls pays per-call launch
+        # latency — severe through a remote-TPU tunnel)
+        self._jit_cache: dict = {}
 
 
 def _cond_sub_n(t: jnp.ndarray, n_limbs: jnp.ndarray) -> jnp.ndarray:
@@ -245,18 +249,30 @@ def mont_exp(ctx: MontCtx, base_mont: jnp.ndarray,
     base_mont: (B, L) in Montgomery form.  ebits: (nbits,) uint32 LSB-first
     (may be a traced array — secret exponents run constant-time).
     Returns (B, L) in Montgomery form.
+
+    The whole scan runs under one jit (cached per context + shapes):
+    dispatched eagerly, its thousands of mont_muls each pay kernel
+    launch latency.
     """
-    acc0 = jnp.broadcast_to(ctx.one_mont, base_mont.shape)
+    key = ("exp", base_mont.shape, ebits.shape)
+    fn = ctx._jit_cache.get(key)
+    if fn is None:
+        def _run(base, eb):
+            acc0 = jnp.broadcast_to(ctx.one_mont, base.shape)
 
-    def step(carry, bit):
-        acc, b = carry
-        mul = mont_mul(ctx, acc, b)
-        acc = jnp.where(bit > 0, mul, acc)
-        b = mont_mul(ctx, b, b)
-        return (acc, b), None
+            def step(carry, bit):
+                acc, b = carry
+                mul = mont_mul(ctx, acc, b)
+                acc = jnp.where(bit > 0, mul, acc)
+                b = mont_mul(ctx, b, b)
+                return (acc, b), None
 
-    (acc, _), _ = jax.lax.scan(step, (acc0, base_mont), ebits)
-    return acc
+            (acc, _), _ = jax.lax.scan(step, (acc0, base), eb)
+            return acc
+
+        fn = jax.jit(_run)
+        ctx._jit_cache[key] = fn
+    return fn(base_mont, ebits)
 
 
 def exponent_digits(e: int, nbits: int, w: int = 4) -> np.ndarray:
@@ -273,20 +289,29 @@ def mont_exp_window(ctx: MontCtx, base_mont: jnp.ndarray,
     square-and-always-multiply (w squarings + 1 table multiply per digit;
     2^w - 1 table build products).  Still constant-time in the exponent
     value (every digit does the same work), so safe for secret exponents.
+
+    Runs under one jit per (context, shapes) — see mont_exp.
     """
-    B, L = base_mont.shape
-    table = [jnp.broadcast_to(ctx.one_mont, base_mont.shape)]
-    for _ in range((1 << w) - 1):
-        table.append(mont_mul(ctx, table[-1], base_mont))
-    tbl = jnp.stack(table)  # (2^w, B, L)
+    key = ("expw", w, base_mont.shape, edigits.shape)
+    fn = ctx._jit_cache.get(key)
+    if fn is None:
+        def _run(base, ed):
+            table = [jnp.broadcast_to(ctx.one_mont, base.shape)]
+            for _ in range((1 << w) - 1):
+                table.append(mont_mul(ctx, table[-1], base))
+            tbl = jnp.stack(table)  # (2^w, B, L)
 
-    def step(acc, digit):
-        for _ in range(w):
-            acc = mont_mul(ctx, acc, acc)
-        sel = jax.lax.dynamic_index_in_dim(tbl, digit, axis=0,
-                                           keepdims=False)
-        return mont_mul(ctx, acc, sel), None
+            def step(acc, digit):
+                for _ in range(w):
+                    acc = mont_mul(ctx, acc, acc)
+                sel = jax.lax.dynamic_index_in_dim(tbl, digit, axis=0,
+                                                   keepdims=False)
+                return mont_mul(ctx, acc, sel), None
 
-    acc0 = jnp.broadcast_to(ctx.one_mont, base_mont.shape)
-    acc, _ = jax.lax.scan(step, acc0, edigits)
-    return acc
+            acc0 = jnp.broadcast_to(ctx.one_mont, base.shape)
+            acc, _ = jax.lax.scan(step, acc0, ed)
+            return acc
+
+        fn = jax.jit(_run)
+        ctx._jit_cache[key] = fn
+    return fn(base_mont, edigits)

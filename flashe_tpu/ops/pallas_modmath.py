@@ -9,10 +9,21 @@ CIOS loop per batch tile with the accumulator resident in VMEM: HBM
 traffic drops to one read of a/b and one write of the result per
 multiply, turning the kernel compute-bound on the VPU.
 
+Mosaic constraints shape the implementation:
+- no dynamic_slice / scatter lowering -> the kernel works in a
+  TRANSPOSED (limb-row, batch-col) layout, so the per-step read of limb
+  a_i is a dynamic *sublane row* load (supported), every accumulator
+  update is a row-concat pad-and-add, and broadcasting a_i over b is a
+  plain (1, bt) x (L, bt) elementwise multiply;
+- no associative_scan (its recursion emits zero-size slices) -> carries
+  resolve with an explicit Kogge-Stone doubling loop over rows;
+- the >= n test for the final conditional subtract reuses the
+  subtraction itself: low + (R - n) overflows the top limb iff
+  low >= n, so the Kogge-Stone pass also returns its carry-out row.
+
 Same math, bit-for-bit, as modmath.mont_mul (pinned in
 tests/test_modmath_paillier.py::test_pallas_mont_mul_matches_xla):
-16-bit limbs, lazy uint32 accumulators, Kogge-Stone carry resolution,
-one conditional subtract of n.
+16-bit limbs, lazy uint32 accumulators, one conditional subtract of n.
 
 Used automatically by modmath.mont_mul on TPU for batches >= 8.
 """
@@ -33,77 +44,83 @@ _BASE_BITS = 16
 _BASE = 1 << _BASE_BITS
 _BMASK = np.uint32(_BASE - 1)
 
-# tile the batch so (Bt, L) stays ~128 KB: full-vreg ops without VMEM
-# pressure from the ~6 live (Bt, L) intermediates per CIOS step
+
 def _batch_tile(L: int) -> int:
-    return max(8, min(256, 32768 // L * 8))
+    # (L+2, bt) live arrays; bt = 128 keeps the rolled loop's footprint
+    # ~10 * 132 KB at L = 256 — comfortable in the 16 MB VMEM budget
+    return 128
 
 
-def _resolve_carries(s):
-    g = (s >= _BASE).astype(jnp.uint32)
-    p = (s == _BMASK).astype(jnp.uint32)
+def _resolve_carries(s, with_carry_out: bool = False):
+    """Digits < 2*BASE -> digits < BASE, along axis 0 (limb rows).
 
-    def combine(lo, hi):
-        g1, p1 = lo
-        g2, p2 = hi
-        return (g2 | (p2 & g1), p1 & p2)
-
-    G, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
-    carry_in = jnp.concatenate(
-        [jnp.zeros_like(G[..., :1]), G[..., :-1]], axis=-1)
-    return (s + carry_in) & _BMASK
+    Explicit Kogge-Stone doubling loop (g/p recurrence as in
+    modmath._resolve_carries); optionally also returns the carry OUT of
+    the top limb row (the inclusive prefix G at the last row)."""
+    n = s.shape[0]
+    G = (s >= _BASE).astype(jnp.uint32)
+    P = (s == _BMASK).astype(jnp.uint32)
+    d = 1
+    while d < n:
+        z = jnp.zeros((d,) + s.shape[1:], jnp.uint32)
+        Gs = jnp.concatenate([z, G[:-d]], axis=0)
+        Ps = jnp.concatenate([z, P[:-d]], axis=0)
+        G = G | (P & Gs)
+        P = P & Ps
+        d <<= 1
+    z1 = jnp.zeros((1,) + s.shape[1:], jnp.uint32)
+    out = (s + jnp.concatenate([z1, G[:-1]], axis=0)) & _BMASK
+    if with_carry_out:
+        return out, G[-1:]
+    return out
 
 
 def _kernel(a_ref, b_ref, n_ref, out_ref, *, L: int, n_prime: int,
             bt: int):
-    a = a_ref[0]
-    b = b_ref[0]
-    n_limbs = n_ref[:]
+    # transposed layout: rows = limbs, cols = batch
+    b = b_ref[0]              # (L, bt)
+    nl = n_ref[:]             # (L, 1)
     npr = jnp.uint32(n_prime)
-    t = jnp.zeros((bt, L + 2), jnp.uint32)
+    zrow = jnp.zeros((1, bt), jnp.uint32)
+    z2 = jnp.zeros((2, bt), jnp.uint32)
 
-    def step(i, t):
-        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=1)  # (bt, 1)
-        p = ai * b
-        t = t.at[:, :L].add(p & _BMASK)
-        t = t.at[:, 1 : L + 1].add(p >> _BASE_BITS)
-        m = ((t[:, 0] & _BMASK) * npr) & _BMASK
-        q = m[:, None] * n_limbs[None, :]
-        t = t.at[:, :L].add(q & _BMASK)
-        t = t.at[:, 1 : L + 1].add(q >> _BASE_BITS)
-        carry0 = t[:, 0] >> _BASE_BITS
-        t = jnp.concatenate(
-            [t[:, 1:], jnp.zeros((bt, 1), jnp.uint32)], axis=1)
-        t = t.at[:, 0].add(carry0)
-        return t
+    def body(i, t):
+        ai = a_ref[0, pl.dslice(i, 1), :]                       # (1, bt)
+        p = ai * b                                              # (L, bt)
+        t = (t + jnp.concatenate([p & _BMASK, z2], axis=0)
+               + jnp.concatenate([zrow, p >> _BASE_BITS, zrow], axis=0))
+        m = ((t[0:1] & _BMASK) * npr) & _BMASK                  # (1, bt)
+        q = m * nl                                              # (L, bt)
+        t = (t + jnp.concatenate([q & _BMASK, z2], axis=0)
+               + jnp.concatenate([zrow, q >> _BASE_BITS, zrow], axis=0))
+        carry0 = t[0:1] >> _BASE_BITS
+        # shift one limb row down; fold the retired limb's carry in
+        return jnp.concatenate([t[1:2] + carry0, t[2:], zrow], axis=0)
 
-    t = jax.lax.fori_loop(0, L, step, t)
+    t = jax.lax.fori_loop(
+        0, L, body, jnp.zeros((L + 2, bt), jnp.uint32))
 
     # normalize lazy accumulators (< 2^27) -> digits < BASE
     lo = t & _BMASK
     hi = t >> _BASE_BITS
-    hi_shifted = jnp.concatenate(
-        [jnp.zeros_like(hi[:, :1]), hi[:, :-1]], axis=1)
+    hi_shifted = jnp.concatenate([zrow, hi[:-1]], axis=0)
     s = lo + hi_shifted
     lo2 = s & _BMASK
     hi2 = s >> _BASE_BITS
-    hi2_shifted = jnp.concatenate(
-        [jnp.zeros_like(hi2[:, :1]), hi2[:, :-1]], axis=1)
+    hi2_shifted = jnp.concatenate([zrow, hi2[:-1]], axis=0)
     tn = _resolve_carries(lo2 + hi2_shifted)
 
-    # conditional subtract of n (T < 2n; see modmath.mont_mul)
-    low = tn[:, :L]
-    gt = jnp.zeros((bt,), jnp.bool_)
-    eq = jnp.ones((bt,), jnp.bool_)
-    for j in reversed(range(L)):
-        gt = gt | (eq & (low[:, j] > n_limbs[j]))
-        eq = eq & (low[:, j] == n_limbs[j])
-    need = (tn[:, L] > 0) | gt | eq
-    comp = _BMASK - jnp.broadcast_to(n_limbs, low.shape)
-    ssum = low + comp
-    ssum = ssum.at[:, 0].add(1)
-    sub = _resolve_carries(ssum)
-    out_ref[0] = jnp.where(need[:, None], sub, low)
+    # conditional subtract of n: low + (R - n) carries out of the top
+    # limb iff low >= n (R - n == complement + 1)
+    low = tn[:L]
+    comp = _BMASK - jnp.broadcast_to(nl, (L, bt))
+    one0 = jnp.concatenate(
+        [jnp.ones((1, bt), jnp.uint32),
+         jnp.zeros((L - 1, bt), jnp.uint32)], axis=0)
+    sub, carry_out = _resolve_carries(low + comp + one0,
+                                      with_carry_out=True)
+    need = (tn[L : L + 1] > 0) | (carry_out > 0)   # (1, bt)
+    out_ref[0] = jnp.where(need, sub, low)
 
 
 @functools.lru_cache(maxsize=None)
@@ -112,15 +129,16 @@ def _build(B: int, L: int, n_prime: int, interpret: bool):
     padded = -(-B // bt) * bt
     n_tiles = padded // bt
     kern = functools.partial(_kernel, L=L, n_prime=n_prime, bt=bt)
-    blk = (1, bt, L)
+    blk = (1, L, bt)
 
     def run(a, b, n_limbs):
         if padded != B:
             pad = ((0, padded - B), (0, 0))
             a = jnp.pad(a, pad)
             b = jnp.pad(b, pad)
-        a3 = a.reshape(n_tiles, bt, L)
-        b3 = b.reshape(n_tiles, bt, L)
+        # (B, L) -> per-tile transposed (n_tiles, L, bt)
+        a3 = a.reshape(n_tiles, bt, L).transpose(0, 2, 1)
+        b3 = b.reshape(n_tiles, bt, L).transpose(0, 2, 1)
         out = pl.pallas_call(
             kern,
             grid=(n_tiles,),
@@ -129,14 +147,14 @@ def _build(B: int, L: int, n_prime: int, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(blk, lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # n_limbs
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # n limbs (L, 1)
             ],
             out_specs=pl.BlockSpec(blk, lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, bt, L), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, L, bt), jnp.uint32),
             interpret=interpret,
-        )(a3, b3, n_limbs)
-        return out.reshape(padded, L)[:B]
+        )(a3, b3, n_limbs[:, None])
+        return out.transpose(0, 2, 1).reshape(padded, L)[:B]
 
     return jax.jit(run)
 
