@@ -343,21 +343,29 @@ def run_extra_mode(args):
 
         rk = jnp.asarray(aes_mod.key_schedule(seed).astype(np.int32))
         lane_mask = np.uint32((1 << m) - 1)
-        streams = [prp_lane_stream(rk, 0, i, n, m) for i in range(nc + 1)]
+        # one compile, traced stream index (eager generation dispatches
+        # ~3k ops per stream through the tunnel: minutes)
+        gen = jax.jit(lambda rk, i: prp_lane_stream(rk, 0, i, n, m))
+        streams = [gen(rk, jnp.int32(i)) for i in range(nc + 1)]
         jax.block_until_ready(streams)
 
         # online phase: apply prepared masks + aggregate + decrypt; timed
         # with the chained-loop slope (see true_loop_time) so the tunnel's
-        # dispatch/fetch latency cancels
-        def online_step(_, qv):
+        # dispatch/fetch latency cancels.  The streams ride in the loop
+        # carry — closed-over device arrays would be serialized into the
+        # remote-compile request (440 MB -> HTTP 413)
+        S = jnp.stack(streams)  # (nc+1, n)
+
+        def online_step(_, carry):
+            qv, S = carry
             agg = None
             for i in range(nc):
-                ct = (qv + streams[i] - streams[i + 1]) & lane_mask
+                ct = (qv + S[i] - S[i + 1]) & lane_mask
                 agg = ct if agg is None else (agg + ct) & lane_mask
-            dec = (agg + streams[nc] - streams[0]) & lane_mask
-            return dec ^ (qv & jnp.uint32(1))  # chain
+            dec = (agg + S[nc] - S[0]) & lane_mask
+            return (dec ^ (qv & jnp.uint32(1)), S)  # chain
 
-        t_online = true_loop_time(online_step, q, r1=2, r2=6)
+        t_online = true_loop_time(online_step, (q, S), r1=2, r2=6)
         # reference: <0.1 s online crypto for 1.2M params (README.md:23);
         # per-element ratio against that claim
         ref_per_elem = 0.1 / 1_206_590

@@ -192,20 +192,133 @@ class DTable:
         return out
 
 
+class PersistentDTable(DTable):
+    """DTable whose KV state lives in the native storage node
+    (native/kvstore.cpp via flashe_tpu/data/kvstore.py) — the analogue
+    of an eggroll LMDB-backed table in FATE standalone work mode.
+
+    KV ops (put/get/delete/count/collect) hit the store directly;
+    functional ops (map/reduce/join/...) inherit from DTable and
+    materialize into in-memory derived tables, exactly as eggroll's
+    compute ops produce new tables.  Keys/values pickle on the way in;
+    partition routing hashes the pickled key with crc32 so the layout is
+    stable across processes (python's `hash` is per-process salted).
+    """
+
+    def __init__(self, session: "Session", name: str, namespace: str,
+                 partitions: int, store):
+        self._session = session
+        self._name = name
+        self._namespace = namespace
+        self._n = max(int(partitions), 1)
+        self._kv = store
+
+    @staticmethod
+    def _enc(obj) -> bytes:
+        import pickle
+
+        return pickle.dumps(obj, protocol=4)
+
+    @staticmethod
+    def _dec(b: bytes):
+        import pickle
+
+        return pickle.loads(b)
+
+    def _part_of(self, kb: bytes) -> int:
+        import zlib
+
+        return zlib.crc32(kb) % self._n
+
+    def put(self, k, v):
+        kb = self._enc(k)
+        self._kv.put(self._part_of(kb), kb, self._enc(v))
+
+    def put_if_absent(self, k, v):
+        kb = self._enc(k)
+        part = self._part_of(kb)
+        cur = self._kv.get(part, kb)
+        if cur is None:
+            self._kv.put(part, kb, self._enc(v))
+            return None
+        return self._dec(cur)
+
+    def get(self, k, default=None):
+        kb = self._enc(k)
+        got = self._kv.get(self._part_of(kb), kb)
+        return default if got is None else self._dec(got)
+
+    def delete(self, k):
+        kb = self._enc(k)
+        part = self._part_of(kb)
+        cur = self._kv.get(part, kb)
+        self._kv.delete(part, kb)
+        return None if cur is None else self._dec(cur)
+
+    def destroy(self):
+        for i in range(self._n):
+            for kb, _ in list(self._kv.items(i)):
+                self._kv.delete(i, kb)
+        self._session._drop(self._namespace, self._name)
+
+    def count(self) -> int:
+        return sum(self._kv.count(i) for i in range(self._n))
+
+    def collect(self) -> List[Tuple[Any, Any]]:
+        out = []
+        for i in range(self._n):
+            for kb, vb in self._kv.items(i):
+                out.append((self._dec(kb), self._dec(vb)))
+        return out
+
+    @property
+    def _parts(self) -> List[Dict[Any, Any]]:
+        # read-only snapshot view for the inherited functional ops
+        parts: List[Dict[Any, Any]] = [dict() for _ in range(self._n)]
+        for i in range(self._n):
+            for kb, vb in self._kv.items(i):
+                parts[i][self._dec(kb)] = self._dec(vb)
+        return parts
+
+    def flush(self):
+        self._kv.flush()
+
+
 class Session:
     """Process-local analogue of `arch.api.session` (session.py:32-87):
-    named-table registry + parallelize ingestion."""
+    named-table registry + parallelize ingestion.  With `storage_dir`,
+    named tables persist through the native C++ storage node
+    (PersistentDTable) and survive restarts — FATE standalone work
+    mode's local-LMDB behavior."""
 
-    def __init__(self, job_id: str = "local"):
+    def __init__(self, job_id: str = "local",
+                 storage_dir: Optional[str] = None):
         self.job_id = job_id
+        self.storage_dir = storage_dir
         self._registry: Dict[Tuple[str, str], DTable] = {}
+        self._stores: Dict[Tuple[str, str], Any] = {}
         self._anon = 0
 
     def table(self, name: str, namespace: str,
               partition: int = 1) -> DTable:
         key = (namespace, name)
         if key not in self._registry:
-            self._registry[key] = DTable(self, name, namespace, partition)
+            if self.storage_dir is not None:
+                import os
+
+                from flashe_tpu.data.kvstore import open_store
+
+                d = os.path.join(self.storage_dir, namespace, name)
+                os.makedirs(d, exist_ok=True)
+                store = self._stores.get(key)
+                if store is None:
+                    store = open_store(d, partition)
+                    self._stores[key] = store
+                self._registry[key] = PersistentDTable(
+                    self, name, namespace, partition, store)
+            else:
+                self._registry[key] = DTable(self, name, namespace,
+                                             partition)
         return self._registry[key]
 
     def parallelize(self, data: Iterable, include_key: bool = False,
@@ -226,8 +339,13 @@ class Session:
 
     def stop(self):
         self._registry.clear()
+        for store in self._stores.values():
+            store.close()
+        self._stores.clear()
 
 
-def init(job_id: str = "local") -> Session:
-    """session.init analogue: returns a fresh process-local session."""
-    return Session(job_id)
+def init(job_id: str = "local",
+         storage_dir: Optional[str] = None) -> Session:
+    """session.init analogue: returns a fresh process-local session;
+    storage_dir enables persistent (native C++ node) tables."""
+    return Session(job_id, storage_dir=storage_dir)

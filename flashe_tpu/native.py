@@ -28,6 +28,25 @@ _lib = None
 _tried = False
 
 
+def build_lib(src_name: str, lib_name: str):
+    """Compile native/<src_name> into a shared library on first use and
+    return its CDLL handle (None when no compiler is available — callers
+    keep a pure-python fallback)."""
+    src = os.path.join(_here, "native", src_name)
+    out = os.path.join(_here, "native", lib_name)
+    with _lock:
+        try:
+            if not os.path.exists(out) or (
+                os.path.getmtime(out) < os.path.getmtime(src)
+            ):
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", out, src],
+                    check=True, capture_output=True)
+            return ctypes.CDLL(out)
+        except Exception:
+            return None
+
+
 def _load():
     global _lib, _tried
     with _lock:
