@@ -23,7 +23,7 @@ import numpy as np
 BASELINE_ELEMENTS_PER_SEC = 262_144 / (2.42 + 7.33 + 2.42)  # 21,540/s
 
 
-def true_loop_time(step, x0, r1=3, r2=12, tries=2):
+def true_loop_time(step, x0, r1=3, r2=12, tries=2, min_window=0.1):
     """Robust device timing for this container's remote-TPU tunnel.
 
     The axon platform's `block_until_ready` can return before execution
@@ -56,11 +56,17 @@ def true_loop_time(step, x0, r1=3, r2=12, tries=2):
 
     run(r1)  # compile + warm
     t1 = min(run(r1) for _ in range(tries))
-    t2 = min(run(r2) for _ in range(tries))
+    # adaptively widen the window: cheap steps (sub-ms) need hundreds of
+    # reps before the slope clears the tunnel's multi-ms timing jitter
+    while True:
+        t2 = min(run(r2) for _ in range(tries))
+        if t2 - t1 >= min_window or r2 >= 4096:
+            break
+        r2 *= 4
     return max(t2 - t1, 1e-9) / (r2 - r1)
 
 
-def true_call_time(fn, x0, r1=2, r2=8, tries=2):
+def true_call_time(fn, x0, r1=2, r2=8, tries=2, min_window=0.1):
     """Slope timing for host-driven call chains (cipher *methods* whose
     python glue can't trace into a fori_loop).  Chains x through fn so
     calls can't overlap, forces completion with a host fetch, and
@@ -81,7 +87,11 @@ def true_call_time(fn, x0, r1=2, r2=8, tries=2):
 
     run(1)  # warm
     t1 = min(run(r1) for _ in range(tries))
-    t2 = min(run(r2) for _ in range(tries))
+    while True:
+        t2 = min(run(r2) for _ in range(tries))
+        if t2 - t1 >= min_window or r2 >= 512:
+            break
+        r2 *= 4
     return max(t2 - t1, 1e-9) / (r2 - r1)
 
 

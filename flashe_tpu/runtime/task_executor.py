@@ -70,19 +70,30 @@ def run_task(cfg: dict):
             out.update(res)
     elif role == "arbiter":
         param = HomoNNParam.from_dict(cfg["param"])
-        comp = HomoNNArbiter(param)
-        out["loss_history"] = comp.fit(trv)
+        if param.cv.need_cv:
+            from flashe_tpu.nn.cross_validation import cv_fit_arbiter
+
+            out["cv"] = cv_fit_arbiter(HomoNNArbiter, param, trv)
+        else:
+            comp = HomoNNArbiter(param)
+            out["loss_history"] = comp.fit(trv)
     else:
         param = HomoNNParam.from_dict(cfg["param"])
         data = np.load(cfg["data"])
         cls = HomoNNGuest if role == "guest" else HomoNNHost
-        comp = cls(param, seed=cfg.get("seed", 0))
-        comp.fit(trv, data["x"], data["y"])
-        out["history"] = comp.history
-        if cfg.get("checkpoint"):
-            save_checkpoint(cfg["checkpoint"], comp.trainer.params,
-                            comp.aggregate_iter,
-                            quantizer_stats={})
+        if param.cv.need_cv:
+            from flashe_tpu.nn.cross_validation import cv_fit_client
+
+            out["cv"] = cv_fit_client(cls, param, trv, data["x"],
+                                      data["y"], seed=cfg.get("seed", 0))
+        else:
+            comp = cls(param, seed=cfg.get("seed", 0))
+            comp.fit(trv, data["x"], data["y"])
+            out["history"] = comp.history
+            if cfg.get("checkpoint"):
+                save_checkpoint(cfg["checkpoint"], comp.trainer.params,
+                                comp.aggregate_iter,
+                                quantizer_stats={})
     out["phases"] = tracker().summary()
     out["transfer_stats"] = fed.stats.summary()
     with open(cfg["out"], "wb") as f:
