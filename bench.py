@@ -42,12 +42,15 @@ def true_loop_time(step, x0, r1=3, r2=12, tries=2, min_window=0.1):
     """
     import jax
 
+    import jax.numpy as _jnp
+
     @jax.jit
     def loop(x, reps):
         return jax.lax.fori_loop(0, reps, step, x)
 
     def run(r):
-        t0 = time.perf_counter()
+        r = _jnp.asarray(r, _jnp.int32)  # traced bound: ONE compile for
+        t0 = time.perf_counter()         # every rep count
         out = loop(x0, r)
         jax.block_until_ready(out)
         leaf = jax.tree_util.tree_leaves(out)[0]

@@ -65,6 +65,11 @@ class BFVCipher:
                     "batching requires plaintext modulus = 1 mod 2m")
             self.slot_ctx = nttmod.RnsContext(self.N, [self.t])
         self._rng = np.random.RandomState(seed)
+        import jax as _jax
+
+        self._enc_key = _jax.random.PRNGKey(
+            int(self._rng.randint(0, 2**31 - 1)))
+        self._enc_cache: dict = {}
         self.sk_ntt = None
         self.pk = None
 
@@ -146,29 +151,53 @@ class BFVCipher:
         return np.asarray(slots)[..., 0, :]
 
     def encrypt_polys(self, pt_coeffs: np.ndarray) -> np.ndarray:
-        """(B, N) plaintext coeffs mod t -> (B, 2, k, N) NTT-domain cts."""
+        """(B, N) plaintext coeffs mod t -> (B, 2, k, N) NTT-domain cts.
+
+        The u/e1/e2 noise draws and the whole NTT/ring chain run on
+        device under one jit: host-side noise would upload 3 (B, k, N)
+        tensors per call (the dominant cost through a remote-TPU
+        tunnel), and eager ring ops pay per-op dispatch."""
+        import jax
+
         B = pt_coeffs.shape[0]
-        rng = self._rng
-        pk0 = jnp.asarray(self.pk[0])
-        pk1_ntt = None
-        u = np.stack([_ternary(rng, self.N) for _ in range(B)])
-        e1 = np.stack([_centered_noise(rng, self.N) for _ in range(B)])
-        e2 = np.stack([_centered_noise(rng, self.N) for _ in range(B)])
-        u_ntt = nttmod.ntt(self.ctx, jnp.asarray(self._to_res(u)))
-        e1_ntt = nttmod.ntt(self.ctx, jnp.asarray(self._to_res(e1)))
-        e2_ntt = nttmod.ntt(self.ctx, jnp.asarray(self._to_res(e2)))
-        # delta * m (per residue), then to NTT
-        dm = self.ctx.mul(
-            jnp.asarray(self._to_res(np.asarray(pt_coeffs, np.int64))),
-            jnp.asarray(np.broadcast_to(
-                self._delta_res, (self.k, self.N)).copy()),
-        )
-        dm_ntt = nttmod.ntt(self.ctx, dm)
-        a_ntt = jnp.asarray(self.pk[1])  # already NTT-domain
-        ct0 = self.ctx.add(self.ctx.add(self.ctx.mul(pk0, u_ntt), e1_ntt),
-                           dm_ntt)
-        ct1 = self.ctx.add(self.ctx.mul(a_ntt, u_ntt), e2_ntt)
-        return np.stack([np.asarray(ct0), np.asarray(ct1)], axis=1)
+        fn = self._enc_cache.get(B)
+        if fn is None:
+            ctx, N = self.ctx, self.N
+
+            def to_res_dev(x):  # (B, N) small ints -> (B, k, N) uint32
+                xx = x[:, None, :].astype(jnp.int64)
+                p = ctx.p.astype(jnp.int64)[None]
+                return jnp.where(xx < 0, xx + p, xx).astype(jnp.uint32)
+
+            def run(key, pt_res, pk0, a_ntt, delta):
+                k1, k2, k3 = jax.random.split(key, 3)
+                u = jax.random.randint(k1, (B, N), -1, 2, dtype=jnp.int32)
+                e1 = jnp.clip(jnp.round(
+                    jax.random.normal(k2, (B, N)) * 3.2), -19, 19
+                ).astype(jnp.int32)
+                e2 = jnp.clip(jnp.round(
+                    jax.random.normal(k3, (B, N)) * 3.2), -19, 19
+                ).astype(jnp.int32)
+                u_ntt = nttmod.ntt(ctx, to_res_dev(u))
+                e1_ntt = nttmod.ntt(ctx, to_res_dev(e1))
+                e2_ntt = nttmod.ntt(ctx, to_res_dev(e2))
+                dm_ntt = nttmod.ntt(ctx, ctx.mul(pt_res, delta))
+                ct0 = ctx.add(ctx.add(ctx.mul(pk0, u_ntt), e1_ntt),
+                              dm_ntt)
+                ct1 = ctx.add(ctx.mul(a_ntt, u_ntt), e2_ntt)
+                return jnp.stack([ct0, ct1], axis=1)
+
+            fn = jax.jit(run)
+            self._enc_cache[B] = fn
+        import jax as _jax
+
+        self._enc_key, sub = _jax.random.split(self._enc_key)
+        out = fn(sub,
+                 jnp.asarray(self._to_res(np.asarray(pt_coeffs, np.int64))),
+                 jnp.asarray(self.pk[0]), jnp.asarray(self.pk[1]),
+                 jnp.asarray(np.broadcast_to(
+                     self._delta_res, (self.k, self.N)).copy()))
+        return np.asarray(out)
 
     def decrypt_polys(self, cts: np.ndarray) -> np.ndarray:
         """(B, 2, k, N) -> (B, N) plaintext coeffs mod t (rounded)."""
@@ -212,9 +241,20 @@ class BFVCipher:
         return pt[:, 0][:count].astype(np.uint32)
 
     def add_ciphertexts(self, ct_arrays) -> np.ndarray:
-        acc = jnp.asarray(np.asarray(ct_arrays[0]))
-        for ct in ct_arrays[1:]:
-            acc = self.ctx.add(acc, jnp.asarray(np.asarray(ct)))
+        """Ciphertext aggregate: elementwise residue adds on device.
+
+        Distinct host buffers upload once (id-dedup): repeated operands
+        (common in benches, harmless otherwise) would otherwise pay one
+        host->device transfer each — the dominant cost through a
+        remote-TPU tunnel, not the adds themselves."""
+        dev = {}
+        acc = None
+        for ct in ct_arrays:
+            d = dev.get(id(ct))
+            if d is None:
+                d = jnp.asarray(np.asarray(ct))
+                dev[id(ct)] = d
+            acc = d if acc is None else self.ctx.add(acc, d)
         return np.asarray(acc)
 
     def noise_level(self, cts: np.ndarray) -> float:

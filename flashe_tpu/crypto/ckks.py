@@ -41,6 +41,11 @@ class CKKSCipher:
         self.ctx = nttmod.RnsContext(self.N, primes)
         self.q = self.ctx.q
         self._rng = np.random.RandomState(seed)
+        import jax as _jax
+
+        self._enc_key = _jax.random.PRNGKey(
+            int(self._rng.randint(0, 2**31 - 1)))
+        self._enc_cache: dict = {}
         self.sk_ntt = None
         self.sk_coeffs = None
 
@@ -141,24 +146,41 @@ class CKKSCipher:
         padded = np.zeros(n_ct * self.slots, np.float64)
         padded[: len(vals)] = vals
         pt = self._encode(padded.reshape(n_ct, self.slots))
-        rng = self._rng
         B = n_ct
-        a = np.stack([
-            np.stack([rng.randint(0, p, self.N, dtype=np.int64).astype(
-                np.uint32) for p in self.ctx.primes])
-            for _ in range(B)
-        ])  # (B, k, N) uniform
-        e = np.stack([
-            np.clip(np.round(rng.randn(self.N) * 3.2), -19, 19).astype(
-                np.int64) for _ in range(B)
-        ])
-        a_ntt = nttmod.ntt(self.ctx, jnp.asarray(a))
-        e_ntt = nttmod.ntt(self.ctx, jnp.asarray(self._to_res(e)))
-        m_ntt = nttmod.ntt(self.ctx, jnp.asarray(self._to_res(pt)))
-        c0 = self.ctx.add(
-            self.ctx.neg(self.ctx.mul(a_ntt, self.sk_ntt)),
-            self.ctx.add(e_ntt, m_ntt))
-        return np.stack([np.asarray(c0), np.asarray(a_ntt)], axis=1)
+        # a/e draws + the ring chain run on device under one jit — see
+        # bfv.encrypt_polys for why (upload + dispatch costs)
+        import jax
+
+        fn = self._enc_cache.get(B)
+        if fn is None:
+            ctx, N, k = self.ctx, self.N, self.k
+            primes = [int(p) for p in ctx.primes]
+
+            def run(key, m_res, sk_ntt):
+                keys = jax.random.split(key, k + 1)
+                a = jnp.stack([
+                    jax.random.randint(keys[i], (B, N), 0, primes[i],
+                                       dtype=jnp.int32).astype(jnp.uint32)
+                    for i in range(k)
+                ], axis=1)  # (B, k, N) uniform in R_q via CRT
+                e = jnp.clip(jnp.round(
+                    jax.random.normal(keys[k], (B, N)) * 3.2), -19, 19
+                ).astype(jnp.int64)
+                ee = e[:, None, :]
+                p = ctx.p.astype(jnp.int64)[None]
+                e_res = jnp.where(ee < 0, ee + p, ee).astype(jnp.uint32)
+                a_ntt = nttmod.ntt(ctx, a)
+                e_ntt = nttmod.ntt(ctx, e_res)
+                m_ntt = nttmod.ntt(ctx, m_res)
+                c0 = ctx.add(ctx.neg(ctx.mul(a_ntt, sk_ntt)),
+                             ctx.add(e_ntt, m_ntt))
+                return jnp.stack([c0, a_ntt], axis=1)
+
+            fn = jax.jit(run)
+            self._enc_cache[B] = fn
+        self._enc_key, sub = jax.random.split(self._enc_key)
+        out = fn(sub, jnp.asarray(self._to_res(pt)), self.sk_ntt)
+        return np.asarray(out)
 
     def decrypt(self, cts: np.ndarray, count: int) -> np.ndarray:
         cts = np.asarray(cts)
@@ -173,7 +195,18 @@ class CKKSCipher:
         return self._decode(coeffs).reshape(-1)[:count]
 
     def add_ciphertexts(self, ct_arrays) -> np.ndarray:
-        acc = jnp.asarray(np.asarray(ct_arrays[0]))
-        for ct in ct_arrays[1:]:
-            acc = self.ctx.add(acc, jnp.asarray(np.asarray(ct)))
+        """Ciphertext aggregate: elementwise residue adds on device.
+
+        Distinct host buffers upload once (id-dedup): repeated operands
+        (common in benches, harmless otherwise) would otherwise pay one
+        host->device transfer each — the dominant cost through a
+        remote-TPU tunnel, not the adds themselves."""
+        dev = {}
+        acc = None
+        for ct in ct_arrays:
+            d = dev.get(id(ct))
+            if d is None:
+                d = jnp.asarray(np.asarray(ct))
+                dev[id(ct)] = d
+            acc = d if acc is None else self.ctx.add(acc, d)
         return np.asarray(acc)

@@ -45,27 +45,31 @@ _BMASK = _BASE - 1
 # ---------------------------------------------------------------------------
 
 def to_limbs(values, L: int) -> np.ndarray:
-    """python ints -> (B, L) uint32 array of 16-bit limbs."""
-    out = np.zeros((len(values), L), np.uint32)
-    for i, v in enumerate(values):
-        v = int(v)
-        for j in range(L):
-            out[i, j] = v & _BMASK
-            v >>= _BASE_BITS
-        if v:
-            raise ValueError("value does not fit in L limbs")
-    return out
+    """python ints -> (B, L) uint32 array of 16-bit limbs.
+
+    C-speed conversion via int.to_bytes: the per-limb python loop cost
+    dominated Paillier's end-to-end add/dec times at realistic batch
+    sizes (2,572 cts x 256 limbs ~ 2 s of pure interpreter time)."""
+    nbytes = 2 * L
+    try:
+        buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
+    except OverflowError as e:
+        raise ValueError("value does not fit in L limbs") from e
+    if not values:
+        return np.zeros((0, L), np.uint32)
+    return (np.frombuffer(buf, dtype="<u2").reshape(len(values), L)
+            .astype(np.uint32))
 
 
 def from_limbs(limbs: np.ndarray) -> list:
-    """(B, L) uint32 limb array -> python ints."""
-    out = []
-    for row in np.asarray(limbs):
-        v = 0
-        for j in reversed(range(row.shape[0])):
-            v = (v << _BASE_BITS) | int(row[j])
-        out.append(v)
-    return out
+    """(B, L) uint32 limb array -> python ints (C-speed via from_bytes)."""
+    a = np.ascontiguousarray(np.asarray(limbs).astype("<u2"))
+    if a.ndim == 1:
+        a = a[None, :]
+    nbytes = 2 * a.shape[1]
+    buf = a.tobytes()
+    return [int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little")
+            for i in range(a.shape[0])]
 
 
 def exponent_bits(e: int, nbits: int) -> np.ndarray:
