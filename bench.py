@@ -110,6 +110,10 @@ def main():
                          "amortize the per-call host->device dispatch "
                          "latency (large through the remote-TPU tunnel: "
                          "~5-10 ms/call, comparable to the kernels)")
+    ap.add_argument("--stats", type=int, default=5,
+                    help="number of independent samples of the headline "
+                         "round; the reported value is the median and the "
+                         "min/max spread is included (tunnel variance)")
     ap.add_argument("--impl", choices=["auto", "xla", "pallas"],
                     default="auto",
                     help="encrypt/decrypt kernel implementation (auto = "
@@ -248,8 +252,6 @@ def main():
         # xor per element vs the 441-op mask stream — negligible)
         return enc_one(acc ^ (q[0] & jnp.uint32(1)), i, 0)
 
-    t_enc1 = true_loop_time(enc_step, q[0], r1=r1, r2=r2)
-
     cts0 = encrypt_all(q, iters[0])
 
     def agg_step(i, acc):
@@ -258,22 +260,35 @@ def main():
         return jnp.sum(cts0 + (acc & jnp.uint32(1))[None, :], axis=0,
                        dtype=jnp.uint32) & mask
 
-    t_agg = true_loop_time(agg_step, cts0[0], r1=r1, r2=r2)
-
     def dec_step(i, acc):
         return dec_one(acc, i)
 
-    t_dec = true_loop_time(dec_step, out, r1=r1, r2=r2)
+    # run-to-run spread through the remote tunnel is real (VERDICT r3
+    # weak #5: a single measurement drifted -9% between doc and driver);
+    # sample each phase `stats` times and report the median + spread
+    samples = []
+    for _ in range(max(args.stats, 1)):
+        t_enc1 = true_loop_time(enc_step, q[0], r1=r1, r2=r2)
+        t_agg = true_loop_time(agg_step, cts0[0], r1=r1, r2=r2)
+        t_dec = true_loop_time(dec_step, out, r1=r1, r2=r2)
+        samples.append((t_enc1, t_agg, t_dec))
+    samples.sort(key=lambda s: s[0] + s[1] + s[2])
+    eps_samples = sorted(n / (a + b + d) for a, b, d in samples)
+    t_enc1, t_agg, t_dec = samples[len(samples) // 2]  # median round
+    eps = n / (t_enc1 + t_agg + t_dec)
     # critical path comparable to the reference table: one client's encrypt
     # + the 10-ct aggregate + decrypt
     t_enc = t_enc1 * c  # all-clients figure for the detail block
-    round_s = t_enc1 + t_agg + t_dec
-    eps = n / round_s
     result = {
         "metric": "flashe_enc_agg_dec_elements_per_sec_per_chip",
         "value": round(eps, 1),
         "unit": "elements/s",
         "vs_baseline": round(eps / BASELINE_ELEMENTS_PER_SEC, 2),
+        "spread": {
+            "n_samples": len(eps_samples),
+            "min": round(eps_samples[0], 1),
+            "max": round(eps_samples[-1], 1),
+        },
     }
     if args.verbose:
         result["detail"] = {

@@ -327,8 +327,9 @@ def _write_docs(doc):
         f"{cfg['train_s_per_round']:.2f} s/round (measured, FemnistCNN); "
         f"cost over {cfg['rounds_for_cost']} rounds.",
         "",
-        "| Scheme | client crypto s | server add s | wire MB/client "
-        "| iteration s | fleet cost $ |",
+        "| Scheme | client crypto s (measured) | server add s (measured) "
+        "| wire MB/client (exact) | iteration s (MODELED WAN) "
+        "| fleet cost $ (MODELED) |",
         "|---|---|---|---|---|---|",
     ]
     for r in doc["rows"]:
@@ -336,8 +337,15 @@ def _write_docs(doc):
             f"| {r['scheme']} | {r['client_crypto_s']} | "
             f"{r['server_add_s']} | {r['wire_mb_per_client']} | "
             f"{r['iteration_s']} | {r['cost_usd']} |")
-    lines += ["", "## Claims vs the reference", "",
-              "| Claim | reference | this framework |", "|---|---|---|"]
+    lines += [
+        "", "## Claims vs the reference", "",
+        "The reference column is *measured* on its geo-distributed EC2 "
+        "fleet (README.md:21-27); this framework's column combines "
+        "measured crypto/training with the modeled WAN/pricing above — "
+        "the `basis` column marks which inputs each figure rests on.",
+        "",
+        "| Claim | reference (measured) | this framework | basis |",
+        "|---|---|---|---|"]
     ref = doc["reference_claims"]
     cl = doc["claims"]
     spd = [v for k, v in cl.items() if k.startswith("speedup_vs_")]
@@ -347,20 +355,22 @@ def _write_docs(doc):
     if spd:
         lines.append(f"| iteration-time speedup vs batched baselines | "
                      f"{ref['speedup_vs_batched_baselines']} | "
-                     f"{min(spd)}x-{max(spd)}x |")
+                     f"{min(spd)}x-{max(spd)}x "
+                     f"| measured crypto + modeled WAN |")
     if trf:
         lines.append(f"| network footprint reduction | "
                      f"{ref['traffic_reduction_vs_batched_baselines']} | "
-                     f"{min(trf)}x-{max(trf)}x |")
+                     f"{min(trf)}x-{max(trf)}x | exact byte counts |")
     if "overhead_vs_plain_time_pct" in cl:
         lines.append(
             f"| overhead vs plaintext | {ref['overhead_vs_plain']} | "
             f"{cl['overhead_vs_plain_time_pct']}% time, "
-            f"{cl['overhead_vs_plain_traffic_pct']}% traffic |")
+            f"{cl['overhead_vs_plain_traffic_pct']}% traffic "
+            f"| measured crypto + modeled WAN |")
     if sav:
         lines.append(f"| economic savings vs batched baselines | "
                      f"{ref['cost_savings_vs_batched_baselines']} | "
-                     f"{min(sav)}%-{max(sav)}% |")
+                     f"{min(sav)}%-{max(sav)}% | modeled price book |")
     lines += ["", "Full measurements: `examples/comparison_results.json`.",
               ""]
     path = os.path.join(os.path.dirname(__file__), "..", "docs",

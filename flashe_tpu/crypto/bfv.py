@@ -17,7 +17,10 @@ add-only homomorphism this system performs.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from flashe_tpu.ops import ntt as nttmod
@@ -70,8 +73,17 @@ class BFVCipher:
         self._enc_key = _jax.random.PRNGKey(
             int(self._rng.randint(0, 2**31 - 1)))
         self._enc_cache: dict = {}
+        self._add_cache: dict = {}
         self.sk_ntt = None
         self.pk = None
+
+        # vectorized host CRT decrypt constants: c_i = |v_i * inv_i|_{p_i}
+        # with inv_i = ((q/p_i) mod p_i)^-1 — round(t*v/q) then splits into
+        # exact uint64 per-prime quotients + a float64 fraction sum
+        self._crt_p = np.array(self.ctx.primes, np.uint64)
+        self._crt_inv = np.array(
+            [pow((self.q // p) % p, -1, p) for p in self.ctx.primes],
+            np.uint64)
 
     # -- residue helpers ---------------------------------------------------
 
@@ -192,27 +204,47 @@ class BFVCipher:
         import jax as _jax
 
         self._enc_key, sub = _jax.random.split(self._enc_key)
-        out = fn(sub,
-                 jnp.asarray(self._to_res(np.asarray(pt_coeffs, np.int64))),
+        if isinstance(pt_coeffs, jax.Array):
+            pt_res = pt_coeffs[:, None, :].astype(jnp.uint32) % (
+                self.ctx.p[None].astype(jnp.uint32))
+        else:
+            pt_res = jnp.asarray(
+                self._to_res(np.asarray(pt_coeffs, np.int64)))
+        out = fn(sub, pt_res,
                  jnp.asarray(self.pk[0]), jnp.asarray(self.pk[1]),
                  jnp.asarray(np.broadcast_to(
                      self._delta_res, (self.k, self.N)).copy()))
-        return np.asarray(out)
-
-    def decrypt_polys(self, cts: np.ndarray) -> np.ndarray:
-        """(B, 2, k, N) -> (B, N) plaintext coeffs mod t (rounded)."""
-        ct0 = jnp.asarray(cts[:, 0])
-        ct1 = jnp.asarray(cts[:, 1])
-        v_ntt = self.ctx.add(ct0, self.ctx.mul(ct1, self.sk_ntt))
-        v = np.asarray(nttmod.intt(self.ctx, v_ntt))
-        out = np.empty(cts.shape[:1] + (self.N,), np.int64)
-        q, t = self.q, self.t
-        for b in range(v.shape[0]):
-            ints = self._crt_to_int(v[b])
-            # m = round(t * v / q) mod t
-            m = (ints * t + q // 2) // q % t
-            out[b] = np.array([int(x) for x in m], np.int64)
+        # stays on device: ciphertexts feed straight into adds/decrypt
+        # (downloading a (B, 2, k, N) tensor per call was the dominant
+        # encrypt cost through the remote-TPU tunnel); serialize with
+        # np.asarray at the wire boundary only
         return out
+
+    def decrypt_polys(self, cts) -> np.ndarray:
+        """(B, 2, k, N) -> (B, N) plaintext coeffs mod t (rounded).
+
+        m = round(t*v/q) mod t without big-int CRT: with c_i = |v_i *
+        inv_i|_{p_i}, t*v/q = sum_i c_i*t/p_i - A*t for an integer A, so
+        m == (sum_i floor(c_i*t/p_i) + round(sum_i frac_i)) mod t.  The
+        quotients are exact in uint64 (c_i, t < 2^31); the fractional sum
+        is float64 with ~1e-7 absolute error while BFV's correctness
+        margin keeps it >= 2^-30-ish away from half-integers — so the
+        rounding is exact whenever decryption is correct at all.  This
+        replaces a Python object-int loop that dominated decrypt time.
+        """
+        cts = jnp.asarray(cts)
+        ct0 = cts[:, 0]
+        ct1 = cts[:, 1]
+        v_ntt = self.ctx.add(ct0, self.ctx.mul(ct1, self.sk_ntt))
+        v = np.asarray(nttmod.intt(self.ctx, v_ntt))  # (B, k, N) uint32
+        t = np.uint64(self.t)
+        p = self._crt_p[:, None]  # (k, 1)
+        c = (v.astype(np.uint64) * self._crt_inv[:, None]) % p
+        ct_prod = c * t  # < 2^62, exact
+        u = (ct_prod // p) % t
+        frac = ((ct_prod % p).astype(np.float64) / p.astype(np.float64))
+        m = (u.sum(axis=1) + np.rint(frac.sum(axis=1)).astype(np.uint64))
+        return (m % t).astype(np.int64)
 
     # -- value-vector API (mirrors jzf_bfv encryptArray etc.) --------------
 
@@ -227,35 +259,51 @@ class BFVCipher:
             n_ct = -(-len(vals) // self.N)
             padded = np.zeros(n_ct * self.N, np.uint32)
             padded[: len(vals)] = vals
-            pt = self._encode_batch(padded.reshape(n_ct, self.N))
+            # slot encode on device, chained straight into encrypt_polys:
+            # one (B, N) upload total, no intermediate host round-trip
+            slots = jnp.asarray(padded.reshape(n_ct, self.N))
+            pt = nttmod.intt(self.slot_ctx, slots[:, None, :])[:, 0, :]
         else:
             pt = np.zeros((len(vals), self.N), np.uint32)
             pt[:, 0] = vals
         return self.encrypt_polys(pt)
 
-    def decrypt(self, cts: np.ndarray, count: int) -> np.ndarray:
-        pt = self.decrypt_polys(np.asarray(cts))
+    def decrypt(self, cts, count: int) -> np.ndarray:
+        pt = self.decrypt_polys(cts)
         if self.batching:
             slots = self._decode_batch(pt.astype(np.uint32) % self.t)
             return slots.reshape(-1)[:count].astype(np.uint32)
         return pt[:, 0][:count].astype(np.uint32)
 
-    def add_ciphertexts(self, ct_arrays) -> np.ndarray:
-        """Ciphertext aggregate: elementwise residue adds on device.
+    def add_ciphertexts(self, ct_arrays):
+        """Ciphertext aggregate: one jitted chain of residue adds.
 
-        Distinct host buffers upload once (id-dedup): repeated operands
-        (common in benches, harmless otherwise) would otherwise pay one
-        host->device transfer each — the dominant cost through a
-        remote-TPU tunnel, not the adds themselves."""
+        Device-resident end to end: distinct host buffers upload once
+        (id-dedup; the cache value keeps the host object alive so its id
+        cannot be recycled mid-iteration), device arrays pass through
+        untouched, the whole chain compiles to ONE program (eager
+        per-pair adds cost a dispatch round-trip each through a remote
+        tunnel), and the result stays on device for decrypt — serialize
+        with np.asarray at the wire boundary only."""
         dev = {}
-        acc = None
+        seq = []
         for ct in ct_arrays:
-            d = dev.get(id(ct))
-            if d is None:
-                d = jnp.asarray(np.asarray(ct))
-                dev[id(ct)] = d
-            acc = d if acc is None else self.ctx.add(acc, d)
-        return np.asarray(acc)
+            entry = dev.get(id(ct))
+            if entry is None:
+                d = ct if isinstance(ct, jax.Array) else jnp.asarray(
+                    np.asarray(ct))
+                dev[id(ct)] = (ct, d)
+            else:
+                d = entry[1]
+            seq.append(d)
+        if len(seq) == 1:
+            return seq[0]
+        fn = self._add_cache.get(len(seq))
+        if fn is None:
+            ctx = self.ctx
+            fn = jax.jit(lambda *xs: functools.reduce(ctx.add, xs))
+            self._add_cache[len(seq)] = fn
+        return fn(*seq)
 
     def noise_level(self, cts: np.ndarray) -> float:
         """Remaining noise budget in bits (reference jzf_bfv.py:228-233)."""

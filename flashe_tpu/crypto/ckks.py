@@ -17,7 +17,10 @@ embedding.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from flashe_tpu.ops import ntt as nttmod
@@ -59,6 +62,19 @@ class CKKSCipher:
             cur = (cur * 5) % (2 * self.N)
         self._bins = ((r - 1) // 2).astype(np.int64)
         self._twist = np.exp(1j * np.pi * np.arange(self.N) / self.N)
+
+        self._enc_cache2: dict = {}
+        self._add_cache: dict = {}
+        # vectorized centered-CRT decode constants (see decrypt): c_i =
+        # |v_i * inv_i|_{p_i}; coeff == (sum_i c_i*(q/p_i) - A*q) exactly,
+        # recovered mod 2^64 (coeffs are ~scale-sized, far below 2^63)
+        self._crt_p = np.array(self.ctx.primes, np.uint64)
+        self._crt_inv = np.array(
+            [pow((self.q // p) % p, -1, p) for p in self.ctx.primes],
+            np.uint64)
+        self._crt_qi64 = np.array(
+            [(self.q // p) % (1 << 64) for p in self.ctx.primes], np.uint64)
+        self._q64 = np.uint64(self.q % (1 << 64))
 
     # -- keys --------------------------------------------------------------
 
@@ -113,29 +129,26 @@ class CKKSCipher:
     # -- encode / decode (host, float64) -----------------------------------
 
     def _encode(self, values: np.ndarray) -> np.ndarray:
-        """(B, slots) floats -> (B, N) object-int coeffs (scaled)."""
+        """(B, slots) floats -> (B, N) int64 coeffs (scaled).
+
+        Batched FFT + int64 rounding (scaled coeffs are far below 2^62
+        for any sane scale/value range; the previous per-coefficient
+        Python object-int loop dominated encrypt wall time)."""
         v = np.asarray(values, np.float64)
         B = v.shape[0]
-        out = np.empty((B, self.N), dtype=object)
-        for b in range(B):
-            spec_full = np.zeros(self.N, np.complex128)
-            spec_full[self._bins] = v[b]
-            spec_full[self.N - 1 - self._bins] = np.conj(
-                v[b].astype(np.complex128))
-            coeffs = (np.fft.fft(spec_full) / self.N / self._twist).real
-            out[b] = np.array(
-                [int(round(c * self.scale)) for c in coeffs], dtype=object)
-        return out
+        spec_full = np.zeros((B, self.N), np.complex128)
+        spec_full[:, self._bins] = v
+        spec_full[:, self.N - 1 - self._bins] = np.conj(
+            v.astype(np.complex128))
+        coeffs = (np.fft.fft(spec_full, axis=-1) / self.N /
+                  self._twist).real
+        return np.rint(coeffs * self.scale).astype(np.int64)
 
     def _decode(self, coeffs: np.ndarray) -> np.ndarray:
-        """(B, N) object-int coeffs -> (B, slots) floats."""
-        B = coeffs.shape[0]
-        out = np.empty((B, self.slots), np.float64)
-        for b in range(B):
-            c = np.array([float(x) for x in coeffs[b]], np.float64)
-            evals = np.fft.ifft(c * self._twist) * self.N
-            out[b] = evals[self._bins].real / self.scale
-        return out
+        """(B, N) int64/float coeffs -> (B, slots) floats (batched)."""
+        c = np.asarray(coeffs).astype(np.float64)
+        evals = np.fft.ifft(c * self._twist, axis=-1) * self.N
+        return evals[:, self._bins].real / self.scale
 
     # -- encrypt / decrypt / add ------------------------------------------
 
@@ -180,33 +193,56 @@ class CKKSCipher:
             self._enc_cache[B] = fn
         self._enc_key, sub = jax.random.split(self._enc_key)
         out = fn(sub, jnp.asarray(self._to_res(pt)), self.sk_ntt)
-        return np.asarray(out)
+        # stays on device (see bfv.encrypt_polys): adds/decrypt consume it
+        # directly; np.asarray at the wire boundary only
+        return out
 
-    def decrypt(self, cts: np.ndarray, count: int) -> np.ndarray:
-        cts = np.asarray(cts)
-        c0 = jnp.asarray(cts[:, 0])
-        c1 = jnp.asarray(cts[:, 1])
+    def decrypt(self, cts, count: int) -> np.ndarray:
+        """Centered CRT + decode, vectorized.
+
+        coeff = sum_i c_i*(q/p_i) - A*q exactly, with c_i = |v_i *
+        inv_i|_{p_i} and A = round(sum_i c_i/p_i) (the fractional sum
+        sits within ~2^-100 of an integer because |coeff| << q, so
+        float64 rounding is exact and lands on the *centered*
+        representative).  Since |coeff| < 2^63, computing mod 2^64 with
+        wrapping uint64 ops and reinterpreting as int64 recovers it —
+        no big-int CRT loop."""
+        cts = jnp.asarray(cts)
+        c0 = cts[:, 0]
+        c1 = cts[:, 1]
         v = np.asarray(nttmod.intt(
             self.ctx, self.ctx.add(c0, self.ctx.mul(c1, self.sk_ntt))))
-        B = v.shape[0]
-        coeffs = np.empty((B, self.N), dtype=object)
-        for b in range(B):
-            coeffs[b] = self._crt_centered(v[b])
+        p = self._crt_p[:, None]
+        c = (v.astype(np.uint64) * self._crt_inv[:, None]) % p  # (B,k,N)
+        A = np.rint(
+            (c.astype(np.float64) / p.astype(np.float64)).sum(axis=1))
+        with np.errstate(over="ignore"):
+            coeff64 = (c * self._crt_qi64[:, None]).sum(
+                axis=1, dtype=np.uint64)
+            coeff64 = coeff64 - A.astype(np.uint64) * self._q64
+        coeffs = coeff64.view(np.int64)
         return self._decode(coeffs).reshape(-1)[:count]
 
-    def add_ciphertexts(self, ct_arrays) -> np.ndarray:
-        """Ciphertext aggregate: elementwise residue adds on device.
-
-        Distinct host buffers upload once (id-dedup): repeated operands
-        (common in benches, harmless otherwise) would otherwise pay one
-        host->device transfer each — the dominant cost through a
-        remote-TPU tunnel, not the adds themselves."""
+    def add_ciphertexts(self, ct_arrays):
+        """Ciphertext aggregate: one jitted chain of residue adds,
+        device-resident end to end (see BFVCipher.add_ciphertexts for the
+        upload-dedup/id-liveness notes)."""
         dev = {}
-        acc = None
+        seq = []
         for ct in ct_arrays:
-            d = dev.get(id(ct))
-            if d is None:
-                d = jnp.asarray(np.asarray(ct))
-                dev[id(ct)] = d
-            acc = d if acc is None else self.ctx.add(acc, d)
-        return np.asarray(acc)
+            entry = dev.get(id(ct))
+            if entry is None:
+                d = ct if isinstance(ct, jax.Array) else jnp.asarray(
+                    np.asarray(ct))
+                dev[id(ct)] = (ct, d)
+            else:
+                d = entry[1]
+            seq.append(d)
+        if len(seq) == 1:
+            return seq[0]
+        fn = self._add_cache.get(len(seq))
+        if fn is None:
+            ctx = self.ctx
+            fn = jax.jit(lambda *xs: functools.reduce(ctx.add, xs))
+            self._add_cache[len(seq)] = fn
+        return fn(*seq)

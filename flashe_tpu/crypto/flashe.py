@@ -155,6 +155,10 @@ class FlasheCipher:
         # precomputed mask streams: {("enc"|"dec", iter): (add, minus)}
         self._prepared = {}
 
+        # optional multi-device party slice (parallel/party.LocalLaneMesh):
+        # dense double-mask encrypt/decrypt shard over local devices
+        self._party_mesh = None
+
     # -- session setup (mirrors jzf_flashe.py:262-304) ---------------------
 
     def set_self_uuid(self, uuid):
@@ -202,6 +206,24 @@ class FlasheCipher:
     def get_idx_list(self):
         return [self.idx]
 
+    def set_local_devices(self, n_shards=None, devices=None):
+        """Give this party a multi-device slice: dense double-mask
+        encrypt/decrypt shard the lane vector across its local devices
+        (the reference's per-party Pool fan-out, jzf_flashe.py:436-447,
+        re-imagined as a local `shard_map`).  A 1-device mesh disables
+        the route (nothing to shard)."""
+        from flashe_tpu.parallel.party import LocalLaneMesh
+
+        m = LocalLaneMesh(n_shards, devices)
+        self._party_mesh = m if m.n_shards > 1 else None
+
+    def _party_ok(self, value) -> bool:
+        return (self._party_mesh is not None
+                and self.masking_scheme == "double"
+                and self.masks is None
+                and value.ndim == 1
+                and nlimbs_for(self.int_bits) == 1)
+
     def set_masks(self, masks, total):
         """Install sparsity location lists (dynamic masking hint payload)."""
         self.masks = None if masks is None else [
@@ -234,7 +256,8 @@ class FlasheCipher:
         kernel, mask generation is cheaper than reading precomputed masks
         back from HBM, so precomputation becomes a no-op there.
         """
-        if self._pallas_ok() or self.num_params is None:
+        if (self._pallas_ok() or self._party_mesh is not None
+                or self.num_params is None):
             return
         it = self.iter_index + 1
         rk, n = self._round_keys, self.num_params
@@ -250,7 +273,8 @@ class FlasheCipher:
     def prepare_decrypt(self):
         """Precompute this round's aggregate-decrypt boundary masks
         (jzf_flashe.py:633-666): add at idx=num_clients, minus at idx=0."""
-        if self._pallas_ok() or self.num_params is None:
+        if (self._pallas_ok() or self._party_mesh is not None
+                or self.num_params is None):
             return
         it = self.iter_index
         add = self._s(self.num_clients, self.num_params)
@@ -268,6 +292,10 @@ class FlasheCipher:
         if self.prp_seed is None:
             return None
         n = value.shape[0]
+        if self._party_ok(value):
+            return self._party_mesh.encrypt(
+                self._round_keys, value, self.iter_index, self.idx,
+                self.int_bits)
         key = ("enc", self.iter_index)
         prepared = self._prepared.pop(key, None)
         if prepared is None and self._pallas_ok():
@@ -306,6 +334,12 @@ class FlasheCipher:
 
         if self.masks is not None:
             return self._decrypt_sparse(value, idx_list)
+
+        if self._party_ok(value):
+            adds, minuses = merge_idx_runs(idx_list)
+            return self._party_mesh.decrypt_runs(
+                self._round_keys, value, self.iter_index, adds, minuses,
+                self.int_bits)
 
         n = value.shape[0]
         if self.masking_scheme == "single":

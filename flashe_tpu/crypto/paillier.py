@@ -226,13 +226,15 @@ class PaillierCipher:
         self.n = None
         self._ctx2: modmath.MontCtx | None = None
         self._ndigits_dev = None
+        self._chain_cache: dict = {}
 
     # -- key management (reference jzf_paillier.py:152-185) ----------------
 
     def generate_key(self, n_length: int = 2048):
-        self.public_key, self.privacy_key = PaillierKeypair.generate_keypair(
-            n_length)
-        self.set_public_key(self.public_key)
+        pub, priv = PaillierKeypair.generate_keypair(n_length)
+        self.public_key = pub
+        self.set_public_key(pub)
+        self.set_privacy_key(priv)
 
     def set_public_key(self, public_key: PaillierPublicKey):
         self.public_key = public_key
@@ -243,6 +245,17 @@ class PaillierCipher:
 
     def set_privacy_key(self, privacy_key: PaillierPrivateKey):
         self.privacy_key = privacy_key
+        # CRT decrypt contexts built ONCE: constructing MontCtx per
+        # decrypt call discarded the per-context jit cache, so every
+        # decrypt re-traced the whole windowed modexp (~2 s constant per
+        # call — the r3 table2 paillier-decrypt regression)
+        sk = privacy_key
+        self._ctx_p = modmath.MontCtx(sk.psquare)
+        self._ctx_q = modmath.MontCtx(sk.qsquare)
+        self._ep_dev = jnp.asarray(
+            modmath.exponent_digits(sk.p - 1, sk.p.bit_length()))
+        self._eq_dev = jnp.asarray(
+            modmath.exponent_digits(sk.q - 1, sk.q.bit_length()))
 
     def get_n(self):
         return self.n
@@ -281,14 +294,10 @@ class PaillierCipher:
         """Aggregated ciphertexts -> plaintext sums (CRT, device modexp)."""
         cts = [int(c) for c in np.asarray(ciphertexts, dtype=object).ravel()]
         sk = self.privacy_key
-        ctx_p = modmath.MontCtx(sk.psquare)
-        ctx_q = modmath.MontCtx(sk.qsquare)
+        ctx_p, ctx_q = self._ctx_p, self._ctx_q
         cp = jnp.asarray(modmath.to_limbs([c % sk.psquare for c in cts], ctx_p.L))
         cq = jnp.asarray(modmath.to_limbs([c % sk.qsquare for c in cts], ctx_q.L))
-        ep = jnp.asarray(
-            modmath.exponent_digits(sk.p - 1, sk.p.bit_length()))
-        eq = jnp.asarray(
-            modmath.exponent_digits(sk.q - 1, sk.q.bit_length()))
+        ep, eq = self._ep_dev, self._eq_dev
         xp = modmath.mont_to(ctx_p, modmath.mont_exp_window(
             ctx_p, modmath.mont_from(ctx_p, cp), ep))
         xq = modmath.mont_to(ctx_q, modmath.mont_exp_window(
@@ -305,15 +314,37 @@ class PaillierCipher:
 
     def add_ciphertexts(self, ct_arrays) -> np.ndarray:
         """Homomorphic aggregate: elementwise product mod n^2
-        (jzf_aggregator.py:437-439), chained on device."""
+        (jzf_aggregator.py:437-439).
+
+        Distinct host arrays convert/upload once (id-dedup, with the host
+        object kept alive so its id cannot be recycled mid-iteration) and
+        the whole Montgomery chain — including the from/to-domain
+        conversions — compiles to ONE program: eager per-pair muls pay a
+        dispatch round-trip each through a remote tunnel."""
         ctx = self._ctx2
-        monts = []
+        dev = {}
+        seq = []
         for arr in ct_arrays:
-            ints = [int(c) for c in np.asarray(arr, dtype=object).ravel()]
-            monts.append(modmath.mont_from(
-                ctx, jnp.asarray(modmath.to_limbs(ints, ctx.L))))
-        acc = monts[0]
-        for m in monts[1:]:
-            acc = modmath.mont_mul(ctx, acc, m)
-        out = modmath.from_limbs(np.asarray(modmath.mont_to(ctx, acc)))
+            entry = dev.get(id(arr))
+            if entry is None:
+                ints = [int(c) for c in
+                        np.asarray(arr, dtype=object).ravel()]
+                d = jnp.asarray(modmath.to_limbs(ints, ctx.L))
+                dev[id(arr)] = (arr, d)
+            else:
+                d = entry[1]
+            seq.append(d)
+        key = (len(seq), seq[0].shape)
+        fn = self._chain_cache.get(key)
+        if fn is None:
+            def _chain(*xs):
+                monts = [modmath.mont_from(ctx, x) for x in xs]
+                acc = monts[0]
+                for m in monts[1:]:
+                    acc = modmath.mont_mul(ctx, acc, m)
+                return modmath.mont_to(ctx, acc)
+
+            fn = jax.jit(_chain)
+            self._chain_cache[key] = fn
+        out = modmath.from_limbs(np.asarray(fn(*seq)))
         return np.array(out, dtype=object)

@@ -242,6 +242,28 @@ class _PyStore:
             f.close()
 
 
+def _pin_nparts(directory: str, nparts: int) -> int:
+    """Persist the partition count at store creation; on reopen, the
+    on-disk value wins.  Without this, reopening with a different
+    `nparts` silently loses keys (fewer parts → higher p*.log files
+    unread; more parts → crc32 routing no longer finds existing keys).
+    """
+    meta = os.path.join(directory, "META")
+    if os.path.exists(meta):
+        with open(meta, "r") as fh:
+            for line in fh:
+                if line.startswith("nparts="):
+                    return int(line.split("=", 1)[1])
+        return nparts
+    os.makedirs(directory, exist_ok=True)
+    tmp = meta + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(f"nparts={nparts}\n")
+    os.replace(tmp, meta)
+    return nparts
+
+
 def open_store(directory: str, nparts: int = 1,
                force_python: bool = False) -> KVStore:
-    return KVStore(directory, nparts, force_python)
+    return KVStore(directory, _pin_nparts(directory, nparts),
+                   force_python)

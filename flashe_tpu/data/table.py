@@ -314,8 +314,11 @@ class Session:
                 if store is None:
                     store = open_store(d, partition)
                     self._stores[key] = store
+                # the store pins its partition count on disk at creation
+                # (kvstore.META); reopening must route with that count,
+                # not whatever this run's caller passed
                 self._registry[key] = PersistentDTable(
-                    self, name, namespace, partition, store)
+                    self, name, namespace, store.nparts, store)
             else:
                 self._registry[key] = DTable(self, name, namespace,
                                              partition)

@@ -28,6 +28,21 @@ _lib = None
 _tried = False
 
 
+def _compile(src: str, out: str, flags: list[str]):
+    """Compile to a per-process temp path, then os.replace() onto the
+    target: multiple federated-job processes may build concurrently, and
+    an atomic rename guarantees no process ever dlopen()s/execs a
+    partially written file."""
+    tmp = f"{out}.tmp{os.getpid()}"
+    try:
+        subprocess.run(["g++", *flags, "-o", tmp, src],
+                       check=True, capture_output=True)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def build_lib(src_name: str, lib_name: str):
     """Compile native/<src_name> into a shared library on first use and
     return its CDLL handle (None when no compiler is available — callers
@@ -39,9 +54,7 @@ def build_lib(src_name: str, lib_name: str):
             if not os.path.exists(out) or (
                 os.path.getmtime(out) < os.path.getmtime(src)
             ):
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", out, src],
-                    check=True, capture_output=True)
+                _compile(src, out, ["-O2", "-shared", "-fPIC"])
             return ctypes.CDLL(out)
         except Exception:
             return None
@@ -57,9 +70,7 @@ def _load():
             if not os.path.exists(_LIB) or (
                 os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
             ):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-                    check=True, capture_output=True)
+                _compile(_SRC, _LIB, ["-O3", "-shared", "-fPIC"])
             lib = ctypes.CDLL(_LIB)
             lib.pack_lanes_u32.argtypes = [
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
@@ -98,10 +109,7 @@ def broker_binary() -> str | None:
             if not os.path.exists(_BROKER_BIN) or (
                 os.path.getmtime(_BROKER_BIN) < os.path.getmtime(_BROKER_SRC)
             ):
-                subprocess.run(
-                    ["g++", "-O3", "-pthread", "-o", _BROKER_BIN,
-                     _BROKER_SRC],
-                    check=True, capture_output=True)
+                _compile(_BROKER_SRC, _BROKER_BIN, ["-O3", "-pthread"])
             _broker_state["path"] = _BROKER_BIN
         except Exception:
             _broker_state["path"] = None

@@ -286,8 +286,13 @@ def bitsliced_counter_words_flat(round_keys, iter_index, stream_idx,
     stream_idx = jnp.asarray(stream_idx, jnp.int32)
     base = jnp.asarray(begin_block, jnp.int32)
     if two_d:
-        assert ngroups % 8 == 0, "two_d planes need ngroups % 8 == 0"
-        pshape = (8, ngroups // 8)
+        # (rows, 128) planes: exactly ngroups/1024 vregs per gate op.
+        # rows=8 (G=1024) is one vreg; larger tiles stack more sublane
+        # rows per plane, giving Mosaic independent per-vreg instructions
+        # within one gate — the ILP experiment of docs/ROOFLINE.md §3.
+        cols = min(ngroups, 128)
+        assert ngroups % cols == 0, "two_d planes need ngroups % 128 == 0"
+        pshape = (ngroups // cols, cols)
     else:
         pshape = (ngroups,)
     group_base = (base + 32 * jnp.arange(ngroups, dtype=jnp.int32)

@@ -25,6 +25,8 @@ decryption).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -51,12 +53,12 @@ def to_limbs(values, L: int) -> np.ndarray:
     dominated Paillier's end-to-end add/dec times at realistic batch
     sizes (2,572 cts x 256 limbs ~ 2 s of pure interpreter time)."""
     nbytes = 2 * L
+    if len(values) == 0:
+        return np.zeros((0, L), np.uint32)
     try:
         buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
     except OverflowError as e:
         raise ValueError("value does not fit in L limbs") from e
-    if not values:
-        return np.zeros((0, L), np.uint32)
     return (np.frombuffer(buf, dtype="<u2").reshape(len(values), L)
             .astype(np.uint32))
 
@@ -181,11 +183,16 @@ def _use_pallas(a) -> bool:
     The XLA CIOS loop round-trips the accumulator through HBM every
     step (HBM-bound); the kernel keeps it in VMEM (compute-bound,
     ~20x; flashe_tpu/ops/pallas_modmath.py)."""
+    if os.environ.get("FLASHE_NO_PALLAS"):
+        return False
     try:
         import jax.core  # noqa: F401
 
         if isinstance(a, jax.core.Tracer):
-            dev = jax.devices()[0].platform
+            # inside a trace we cannot see the committed device; the
+            # default backend is the best available proxy (an explicit
+            # CPU-jit on a TPU host can opt out via FLASHE_NO_PALLAS)
+            dev = jax.default_backend()
         else:
             dev = list(a.devices())[0].platform
         return dev == "tpu"

@@ -44,8 +44,14 @@ __all__ = ["pallas_mask_apply", "pallas_encrypt", "pallas_decrypt",
 # 1024 groups = 32768 blocks/tile.  The AES state is 128 flat planes of
 # (8, 128) uint32 — exactly one vreg per plane, so every gate is one
 # full-width VPU op (see bitsliced_counter_words_flat); ~4 MB VMEM/tile.
-_GROUPS_PER_TILE = 1024
-_PL_SUB = 8  # plane sublane dim
+# FLASHE_TILE_GROUPS widens the planes to (G/128, 128) — multiple vregs
+# per gate, i.e. independent instructions inside each gate op — the
+# issue-pressure experiment documented in docs/ROOFLINE.md §3.
+import os as _os
+
+_GROUPS_PER_TILE = int(_os.environ.get("FLASHE_TILE_GROUPS", "1024"))
+assert _GROUPS_PER_TILE % 128 == 0
+_PL_SUB = _GROUPS_PER_TILE // 128  # plane sublane dim (vregs per gate)
 
 
 def _groups(interpret: bool) -> int:

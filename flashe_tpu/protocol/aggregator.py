@@ -252,8 +252,9 @@ class Arbiter:
                       else np.asarray(p.lanes) for p in payloads]
 
         if scheme in ("paillier", "bfv", "ckks"):
-            return self._block.add_ciphertexts(
-                [np.asarray(a) for a in arrays])
+            # the ciphers' add_ciphertexts dedups uploads and keeps the
+            # chain device-resident; don't force a host round-trip here
+            return self._block.add_ciphertexts(list(arrays))
 
         arrays = [jnp.asarray(a) for a in arrays]
         if scheme == "flashe" or (

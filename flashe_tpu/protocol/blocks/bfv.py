@@ -115,7 +115,9 @@ class _Client(uuid_sync.Client, dh_sync.Client):
         return self.cipher.encrypt(np.asarray(q_lanes))
 
     def decrypt(self, cts, count=None):
-        return jnp.asarray(self.cipher.decrypt(np.asarray(cts), count))
+        # cipher.decrypt consumes device arrays directly (wire arrivals
+        # are numpy; in-process payloads stay on device)
+        return jnp.asarray(self.cipher.decrypt(cts, count))
 
     def prepare_encrypt(self):
         pass

@@ -111,8 +111,9 @@ class _Client(uuid_sync.Client, dh_sync.Client):
         return self.cipher.encrypt(np.asarray(flat))
 
     def decrypt(self, cts, count=None):
+        # cipher.decrypt consumes device arrays directly
         return jnp.asarray(
-            self.cipher.decrypt(np.asarray(cts), count).astype(np.float32))
+            self.cipher.decrypt(cts, count).astype(np.float32))
 
     def prepare_encrypt(self):
         pass

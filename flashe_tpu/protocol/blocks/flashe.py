@@ -39,6 +39,9 @@ def _parse_args(args):
         "secure": q["secure"],
         "mask": args.get("mask", "double"),
         "precompute": args.get("precompute", {"enable": False}),
+        # >1 (or "all"): the party shards encrypt/decrypt over that many
+        # local devices (parallel/party.LocalLaneMesh)
+        "local_lane_shards": args.get("local_lane_shards"),
     }
 
 
@@ -147,6 +150,7 @@ class _Client(uuid_sync.Client, dh_sync.Client):
         self.mask = a["mask"]
         self.precompute = a["precompute"].get("enable", False)
         self.num_params = a["precompute"].get("num_params")
+        self.local_lane_shards = a["local_lane_shards"]
         self.cipher: FlasheCipher | None = None
         self.quantizer: QuantizingClient | None = None
         self._to_arbiter = None
@@ -221,6 +225,8 @@ class _Client(uuid_sync.Client, dh_sync.Client):
         num_clients = self._from_arbiter.get(idx=0, suffix=("num_clients",))
         self.quantizer.set_num_clients(num_clients)
         self.cipher.set_num_clients(num_clients)
+        if self.local_lane_shards is not None:
+            self.cipher.set_local_devices(self.local_lane_shards)
         if self.precompute and self.num_params is not None:
             self.cipher.set_num_params(self.num_params)
             self.cipher.prepare_encrypt()  # round-0 bootstrap (offline)
