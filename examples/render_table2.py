@@ -84,7 +84,8 @@ def main(argv=None):
         "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        key = (r["algorithm"], r["elements"])
+        base_alg = r["algorithm"].replace(" (extrapolated)", "")
+        key = (base_alg, r["elements"])
         ref = REF.get(key)
         refsz = ref[0] if ref else "—"
         lines.append(
@@ -103,7 +104,11 @@ def main(argv=None):
         "sizes differ from the reference where the schemes' parameters "
         "legitimately differ (documented in docs/PARITY.md): Paillier "
         "packs 102 20-bit lanes per 4096-bit ciphertext, our native BFV "
-        "uses RNS ~30-bit primes, CKKS ships symmetric (c0, a) pairs.",
+        "uses RNS ~30-bit primes, CKKS ships symmetric (c0, a) pairs.  "
+        "'(extrapolated)' rows time a measured sub-slice (512-2048 "
+        "elements, or the full first size for paillier) and scale "
+        "linearly — the per-ciphertext work is independent, so cost is "
+        "linear in n; run `--full` for end-to-end timings of those rows.",
         "",
     ]
     out = "\n".join(lines)

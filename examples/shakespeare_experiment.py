@@ -150,6 +150,8 @@ def main():
                     help="embed 64 / GRU 64 instead of 512/256")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="examples/shakespeare_results.json")
+    ap.add_argument("--write-docs", action="store_true",
+                    help="render docs/CONVERGENCE.md from the results")
     args = ap.parse_args()
 
     from flashe_tpu import jaxenv
@@ -200,6 +202,56 @@ def main():
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}")
+    if args.write_docs:
+        write_docs(out)
+
+
+def write_docs(out):
+    """Render docs/CONVERGENCE.md from a results dict (the committed
+    artifact for the reference's accuracy-parity / <=6%-overhead claims,
+    README.md:21)."""
+    cfg = out["config"]
+    scale = "toy (--small)" if cfg["small"] else "full reference scale"
+    lines = [
+        "# Convergence: Shakespeare next-char GRU, flashe vs plain",
+        "",
+        "Real-data federated training on the reference's in-repo "
+        "`shakespeare_10` dataset (examples/shakespeare_experiment.py): "
+        f"{cfg['clients']} clients + arbiter, {cfg['params']:,}-param "
+        "GRU (the lstm_flashe_q16_b1_pad nn_define), "
+        f"{cfg['rounds']} rounds, batch {cfg['batch_size']}, Adam "
+        f"lr={cfg['learning_rate']} — **{scale}**.",
+        "",
+        "| Round | plain eval loss | plain acc | flashe eval loss "
+        "| flashe acc |",
+        "|---|---|---|---|---|",
+    ]
+    pl = out["schemes"].get("plain", {})
+    fl = out["schemes"].get("flashe", {})
+    n_rounds = max(len(pl.get("eval_loss", [])),
+                   len(fl.get("eval_loss", [])))
+    for r in range(n_rounds):
+        def g(rec, k):
+            v = rec.get(k, [])
+            return f"{v[r]:.4f}" if r < len(v) else "—"
+        lines.append(f"| {r} | {g(pl, 'eval_loss')} | {g(pl, 'eval_acc')} "
+                     f"| {g(fl, 'eval_loss')} | {g(fl, 'eval_acc')} |")
+    if "flashe_overhead_pct" in out:
+        tp = pl.get("mean_round_s")
+        tf = fl.get("mean_round_s")
+        lines += [
+            "",
+            f"Round time (steady state, round 0 excluded): plain "
+            f"{tp:.3f} s, flashe {tf:.3f} s -> overhead "
+            f"**{out['flashe_overhead_pct']}%** (reference claim: <=6% "
+            "at this scale, README.md:21).",
+        ]
+    lines += ["", "Raw data: `examples/shakespeare_results.json`.", ""]
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "CONVERGENCE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {os.path.normpath(path)}")
 
 
 if __name__ == "__main__":

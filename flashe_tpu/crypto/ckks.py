@@ -159,7 +159,11 @@ class CKKSCipher:
         padded = np.zeros(n_ct * self.slots, np.float64)
         padded[: len(vals)] = vals
         pt = self._encode(padded.reshape(n_ct, self.slots))
-        B = n_ct
+        return self._encrypt_polys(pt)
+
+    def _encrypt_polys(self, pt: np.ndarray) -> np.ndarray:
+        """(B, N) int64 scaled coeffs -> (B, 2, k, N) ciphertexts."""
+        B = pt.shape[0]
         # a/e draws + the ring chain run on device under one jit — see
         # bfv.encrypt_polys for why (upload + dispatch costs)
         import jax
@@ -198,7 +202,10 @@ class CKKSCipher:
         return out
 
     def decrypt(self, cts, count: int) -> np.ndarray:
-        """Centered CRT + decode, vectorized.
+        return self._decode(self._decrypt_coeffs(cts)).reshape(-1)[:count]
+
+    def _decrypt_coeffs(self, cts) -> np.ndarray:
+        """(B, 2, k, N) cts -> (B, N) centered int64 coeffs, vectorized.
 
         coeff = sum_i c_i*(q/p_i) - A*q exactly, with c_i = |v_i *
         inv_i|_{p_i} and A = round(sum_i c_i/p_i) (the fractional sum
@@ -220,8 +227,22 @@ class CKKSCipher:
             coeff64 = (c * self._crt_qi64[:, None]).sum(
                 axis=1, dtype=np.uint64)
             coeff64 = coeff64 - A.astype(np.uint64) * self._q64
-        coeffs = coeff64.view(np.int64)
-        return self._decode(coeffs).reshape(-1)[:count]
+        return coeff64.view(np.int64)
+
+    def encrypt_no_batch(self, values: np.ndarray) -> np.ndarray:
+        """One value per ciphertext in slot 0 (the reference's _no_batch
+        variants, jzf_ckks.py:60-84) — the pathological-inflation row of
+        the comparison table."""
+        vals = np.asarray(values, np.float64).ravel()
+        pts = np.zeros((len(vals), self.slots), np.float64)
+        pts[:, 0] = vals
+        pt = self._encode(pts)
+        return self._encrypt_polys(pt)
+
+    def decrypt_no_batch(self, cts, count: int) -> np.ndarray:
+        """Slot 0 of each ciphertext, decoded in one batched pass."""
+        coeffs = self._decrypt_coeffs(cts)
+        return self._decode(coeffs)[:, 0][:count]
 
     def add_ciphertexts(self, ct_arrays):
         """Ciphertext aggregate: one jitted chain of residue adds,

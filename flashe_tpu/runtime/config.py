@@ -51,6 +51,9 @@ class SecureAggregateArgs:
     mode: str = "parallel"
     num_partitions: int = 1
     wire_pack: bool = False
+    # >1 (or "all"): flashe parties shard encrypt/decrypt over that many
+    # local devices (parallel/party.LocalLaneMesh)
+    local_lane_shards: Optional[Any] = None
     # scheme-specific knobs (paillier key size, BFV/CKKS ring params)
     key_length: int = 2048
     poly_modulus_degree: int = 8192
@@ -62,6 +65,13 @@ class SecureAggregateArgs:
             raise ValueError(f"mode must be one of {_MODES}")
         if self.num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
+        if self.local_lane_shards is not None:
+            if self.local_lane_shards != "all" and (
+                not isinstance(self.local_lane_shards, int)
+                or self.local_lane_shards < 1
+            ):
+                raise ValueError(
+                    "local_lane_shards must be a positive int or 'all'")
         if self.quantize is not None:
             self.quantize.check()
 
@@ -78,6 +88,8 @@ class SecureAggregateArgs:
             "key_length": self.key_length,
             "poly_modulus_degree": self.poly_modulus_degree,
         }
+        if self.local_lane_shards is not None:
+            d["local_lane_shards"] = self.local_lane_shards
         if self.quantize is not None:
             d["quantize"] = self.quantize.to_dict()
         return d
@@ -94,6 +106,7 @@ class SecureAggregateArgs:
             mode=d.get("mode", "parallel"),
             num_partitions=d.get("num_partitions", 1),
             wire_pack=d.get("wire_pack", False),
+            local_lane_shards=d.get("local_lane_shards"),
             key_length=d.get("key_length", 2048),
             poly_modulus_degree=d.get("poly_modulus_degree", 8192),
         )
