@@ -257,6 +257,28 @@ def cmd_broker(args) -> int:
     return 0
 
 
+def cmd_storage_node(args) -> int:
+    """Run a persistent storage node (eggroll storage-service analogue);
+    sessions bind with data.table.init(storage_addr=...)."""
+    import time
+
+    from flashe_tpu.data.remote_kv import StorageNode
+
+    node = StorageNode(args.dir, port=args.port,
+                       native=not args.python)
+    kind = "native" if node.native else "python"
+    print(f"storage node ({kind}) serving {args.dir} at {node.address}",
+          flush=True)
+    try:
+        while True:
+            if node._proc is not None and node._proc.poll() is not None:
+                return node._proc.returncode or 0
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        node.shutdown()
+    return 0
+
+
 def cmd_party(args) -> int:
     """Join a cluster job as one party from this machine."""
     if args.cpu:
@@ -563,6 +585,18 @@ def main(argv=None) -> int:
                           help="force the pure-Python broker instead of "
                                "the native C++ one")
     p_broker.set_defaults(fn=cmd_broker)
+
+    p_store = sub.add_parser(
+        "storage-node", help="run a persistent KV storage node "
+                             "(tables bind via storage_addr)")
+    p_store.add_argument("--dir", required=True,
+                         help="storage root directory")
+    p_store.add_argument("--port", type=int, default=0,
+                         help="0 = ephemeral (the bound port is printed)")
+    p_store.add_argument("--python", action="store_true",
+                         help="force the pure-Python server instead of "
+                              "the native C++ one")
+    p_store.set_defaults(fn=cmd_storage_node)
 
     p_party = sub.add_parser(
         "party", help="join a multi-host job as one party "

@@ -292,9 +292,11 @@ class Session:
     mode's local-LMDB behavior."""
 
     def __init__(self, job_id: str = "local",
-                 storage_dir: Optional[str] = None):
+                 storage_dir: Optional[str] = None,
+                 storage_addr: Optional[str] = None):
         self.job_id = job_id
         self.storage_dir = storage_dir
+        self.storage_addr = storage_addr
         self._registry: Dict[Tuple[str, str], DTable] = {}
         self._stores: Dict[Tuple[str, str], Any] = {}
         self._anon = 0
@@ -303,7 +305,20 @@ class Session:
               partition: int = 1) -> DTable:
         key = (namespace, name)
         if key not in self._registry:
-            if self.storage_dir is not None:
+            if self.storage_addr is not None:
+                # remote storage node (data/remote_kv.py — the eggroll
+                # storage-service split: tables live in another process
+                # or on another machine)
+                from flashe_tpu.data.remote_kv import RemoteKVStore
+
+                store = self._stores.get(key)
+                if store is None:
+                    store = RemoteKVStore(self.storage_addr, namespace,
+                                          name, partition)
+                    self._stores[key] = store
+                self._registry[key] = PersistentDTable(
+                    self, name, namespace, store.nparts, store)
+            elif self.storage_dir is not None:
                 import os
 
                 from flashe_tpu.data.kvstore import open_store
@@ -348,7 +363,12 @@ class Session:
 
 
 def init(job_id: str = "local",
-         storage_dir: Optional[str] = None) -> Session:
-    """session.init analogue: returns a fresh process-local session;
-    storage_dir enables persistent (native C++ node) tables."""
-    return Session(job_id, storage_dir=storage_dir)
+         storage_dir: Optional[str] = None,
+         storage_addr: Optional[str] = None) -> Session:
+    """session.init analogue: returns a fresh process-local session.
+
+    storage_dir enables persistent (native C++ node) tables in this
+    process; storage_addr ("host:port") binds tables to a remote
+    storage node instead (data/remote_kv.StorageNode)."""
+    return Session(job_id, storage_dir=storage_dir,
+                   storage_addr=storage_addr)

@@ -116,6 +116,36 @@ def broker_binary() -> str | None:
         return _broker_state["path"]
 
 
+_KVSRV_SRC = os.path.join(_here, "native", "kvserver.cpp")
+_KVSRV_BIN = os.path.join(_here, "native", "kvserver")
+_kvsrv_lock = threading.Lock()
+_kvsrv_state = {"tried": False, "path": None}
+
+
+def kvserver_binary() -> str | None:
+    """Builds (if stale) and returns the storage-node executable
+    (native/kvserver.cpp), or None when no compiler is available."""
+    with _kvsrv_lock:
+        if _kvsrv_state["tried"]:
+            return _kvsrv_state["path"]
+        _kvsrv_state["tried"] = True
+        try:
+            src_mtime = max(os.path.getmtime(_KVSRV_SRC),
+                            os.path.getmtime(
+                                os.path.join(_here, "native",
+                                             "kvstore.cpp")))
+            if not os.path.exists(_KVSRV_BIN) or (
+                os.path.getmtime(_KVSRV_BIN) < src_mtime
+            ):
+                _compile(_KVSRV_SRC, _KVSRV_BIN,
+                         ["-O2", "-pthread", "-I",
+                          os.path.join(_here, "native")])
+            _kvsrv_state["path"] = _KVSRV_BIN
+        except Exception:
+            _kvsrv_state["path"] = None
+        return _kvsrv_state["path"]
+
+
 def pack_lanes(lanes: np.ndarray, int_bits: int) -> bytes | None:
     lib = _load()
     if lib is None:

@@ -1,0 +1,259 @@
+// Networked storage node: the persistent KV store (kvstore.cpp) served
+// over TCP — the TPU-era analogue of eggroll's *remote* storage-service
+// (the C++ LMDB node that FATE DTables talk to across processes/machines;
+// SURVEY.md section 2.3).  flashe_tpu/data/remote_kv.py is the client
+// (and carries a pure-python server speaking the same protocol for
+// compiler-less environments).
+//
+// Wire protocol (little-endian):
+//   request:  u8 op | u32 nslen | u32 namelen | u32 part | u32 klen |
+//             u32 vlen | ns | name | key | value
+//   response: u8 status | u64 len | payload
+//
+// Ops: 0 OPEN (part field = requested nparts; payload u32 = pinned
+//      nparts — an existing store's on-disk partition count wins),
+//      1 PUT, 2 GET (status 1 = missing), 3 DEL (status 1 = missing),
+//      4 COUNT (payload u64), 5 ITER (payload stream of
+//      u32 klen|u32 vlen|key|val records, terminated by klen=0xFFFFFFFF),
+//      6 FLUSH, 7 SHUTDOWN.
+//
+// Partition counts are pinned in a META file at store creation, the same
+// "nparts=N" format the in-process store uses (data/kvstore.py), so a
+// directory can be served locally or remotely interchangeably.
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+
+#include <cstdlib>
+#include <map>
+#include <mutex>
+#include <thread>
+
+#include "kvstore.cpp"  // storage core + C ABI (single-TU build)
+
+namespace {
+
+struct OpenStore {
+  void* h = nullptr;
+  int nparts = 0;
+  std::mutex mu;
+};
+
+std::mutex g_mu;
+std::map<std::string, OpenStore*> g_stores;
+std::string g_root;
+volatile bool g_stop = false;
+
+bool read_full(int fd, void* buf, size_t n) {
+  char* p = static_cast<char*>(buf);
+  while (n) {
+    ssize_t r = recv(fd, p, n, 0);
+    if (r <= 0) return false;
+    p += r;
+    n -= (size_t)r;
+  }
+  return true;
+}
+
+bool write_full(int fd, const void* buf, size_t n) {
+  const char* p = static_cast<const char*>(buf);
+  while (n) {
+    ssize_t r = send(fd, p, n, 0);
+    if (r <= 0) return false;
+    p += r;
+    n -= (size_t)r;
+  }
+  return true;
+}
+
+bool send_resp(int fd, uint8_t status, const void* payload, uint64_t len) {
+  char hdr[9];
+  hdr[0] = (char)status;
+  std::memcpy(hdr + 1, &len, 8);
+  if (!write_full(fd, hdr, 9)) return false;
+  if (len && !write_full(fd, payload, len)) return false;
+  return true;
+}
+
+int pinned_nparts(const std::string& dir, int requested) {
+  std::string meta = dir + "/META";
+  if (FILE* f = std::fopen(meta.c_str(), "r")) {
+    int n = requested;
+    if (std::fscanf(f, "nparts=%d", &n) != 1) n = requested;
+    std::fclose(f);
+    return n;
+  }
+  ::mkdir(dir.c_str(), 0777);
+  std::string tmp = meta + ".tmp" + std::to_string(getpid());
+  if (FILE* f = std::fopen(tmp.c_str(), "w")) {
+    std::fprintf(f, "nparts=%d\n", requested);
+    std::fclose(f);
+    std::rename(tmp.c_str(), meta.c_str());
+  }
+  return requested;
+}
+
+OpenStore* get_store(const std::string& ns, const std::string& name,
+                     int requested_nparts) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  std::string key = ns + "/" + name;
+  auto it = g_stores.find(key);
+  if (it != g_stores.end()) return it->second;
+  std::string nsdir = g_root + "/" + ns;
+  ::mkdir(nsdir.c_str(), 0777);
+  std::string dir = nsdir + "/" + name;
+  int nparts = pinned_nparts(dir, requested_nparts > 0 ? requested_nparts
+                                                       : 1);
+  void* h = kv_open(dir.c_str(), nparts);
+  if (!h) return nullptr;
+  auto* st = new OpenStore();
+  st->h = h;
+  st->nparts = nparts;
+  g_stores[key] = st;
+  return st;
+}
+
+void serve_conn(int fd) {
+  int one = 1;
+  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  std::string ns, name, key, val;
+  for (;;) {
+    char hdr[21];
+    if (!read_full(fd, hdr, 21)) break;
+    uint8_t op = (uint8_t)hdr[0];
+    uint32_t lens[5];
+    std::memcpy(lens, hdr + 1, 20);
+    uint32_t nslen = lens[0], namelen = lens[1], part = lens[2],
+             klen = lens[3], vlen = lens[4];
+    ns.resize(nslen);
+    name.resize(namelen);
+    key.resize(klen);
+    val.resize(vlen);
+    if (nslen && !read_full(fd, &ns[0], nslen)) break;
+    if (namelen && !read_full(fd, &name[0], namelen)) break;
+    if (klen && !read_full(fd, &key[0], klen)) break;
+    if (vlen && !read_full(fd, &val[0], vlen)) break;
+    if (op == 7) {  // SHUTDOWN: flush everything, ack, exit
+      {
+        std::lock_guard<std::mutex> lock(g_mu);
+        for (auto& kv : g_stores) kv_flush(kv.second->h);
+      }
+      send_resp(fd, 0, nullptr, 0);
+      close(fd);
+      std::_Exit(0);
+    }
+    OpenStore* st = get_store(ns, name, (int)part);
+    if (!st) {
+      if (!send_resp(fd, 2, nullptr, 0)) break;
+      continue;
+    }
+    std::lock_guard<std::mutex> lock(st->mu);
+    bool ok = true;
+    switch (op) {
+      case 0: {  // OPEN -> pinned nparts
+        uint32_t n = (uint32_t)st->nparts;
+        ok = send_resp(fd, 0, &n, 4);
+        break;
+      }
+      case 1:  // PUT
+        ok = send_resp(fd,
+                       kv_put(st->h, (int)part, key.data(), klen,
+                              val.data(), vlen) == 0 ? 0 : 2,
+                       nullptr, 0);
+        break;
+      case 2: {  // GET
+        int64_t n = kv_get_len(st->h, (int)part, key.data(), klen);
+        if (n < 0) {
+          ok = send_resp(fd, 1, nullptr, 0);
+        } else {
+          std::string out((size_t)n, '\0');
+          if (kv_get(st->h, (int)part, key.data(), klen,
+                     n ? &out[0] : nullptr) != 0) {
+            ok = send_resp(fd, 2, nullptr, 0);
+          } else {
+            ok = send_resp(fd, 0, out.data(), (uint64_t)n);
+          }
+        }
+        break;
+      }
+      case 3:  // DEL
+        ok = send_resp(
+            fd, kv_del(st->h, (int)part, key.data(), klen) == 0 ? 0 : 1,
+            nullptr, 0);
+        break;
+      case 4: {  // COUNT
+        uint64_t n = (uint64_t)kv_count(st->h, (int)part);
+        ok = send_resp(fd, 0, &n, 8);
+        break;
+      }
+      case 5: {  // ITER: stream records then a terminator
+        std::string out;
+        void* iter = kv_iter_open(st->h, (int)part);
+        uint32_t kl, vl;
+        while (kv_iter_next_lens(iter, &kl, &vl) == 0) {
+          size_t base = out.size();
+          out.resize(base + 8 + kl + vl);
+          std::memcpy(&out[base], &kl, 4);
+          std::memcpy(&out[base + 4], &vl, 4);
+          kv_iter_fill(iter, &out[base + 8], &out[base + 8 + kl]);
+        }
+        kv_iter_close(iter);
+        uint32_t term = kTombstone;
+        size_t base = out.size();
+        out.resize(base + 4);
+        std::memcpy(&out[base], &term, 4);
+        ok = send_resp(fd, 0, out.data(), out.size());
+        break;
+      }
+      case 6:  // FLUSH
+        kv_flush(st->h);
+        ok = send_resp(fd, 0, nullptr, 0);
+        break;
+      default:
+        ok = send_resp(fd, 3, nullptr, 0);
+    }
+    if (!ok) break;
+  }
+  close(fd);
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    std::fprintf(stderr, "usage: kvserver <root_dir> <port>\n");
+    return 2;
+  }
+  g_root = argv[1];
+  ::mkdir(g_root.c_str(), 0777);
+  int port = std::atoi(argv[2]);
+  int srv = socket(AF_INET, SOCK_STREAM, 0);
+  int one = 1;
+  setsockopt(srv, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons((uint16_t)port);
+  if (bind(srv, (sockaddr*)&addr, sizeof(addr)) != 0) {
+    std::perror("bind");
+    return 1;
+  }
+  socklen_t alen = sizeof(addr);
+  getsockname(srv, (sockaddr*)&addr, &alen);
+  listen(srv, 64);
+  // the chosen port on stdout so a parent process can connect (port 0 =
+  // ephemeral), matching fedbroker's handshake convention
+  std::printf("KVSERVER PORT %d\n", (int)ntohs(addr.sin_port));
+  std::fflush(stdout);
+  while (!g_stop) {
+    int fd = accept(srv, nullptr, nullptr);
+    if (fd < 0) break;
+    std::thread(serve_conn, fd).detach();
+  }
+  close(srv);
+  // drop store handles (flush happens on close)
+  for (auto& kv : g_stores) kv_close(kv.second->h);
+  return 0;
+}
