@@ -147,19 +147,30 @@ class BFVCipher:
 
     # -- encode / encrypt --------------------------------------------------
 
+    def _slot_fn(self, kind: str, shape):
+        fn = self._add_cache.get((kind, shape))
+        if fn is None:
+            sctx = self.slot_ctx
+            f = nttmod.intt if kind == "slot_enc" else nttmod.ntt
+            fn = jax.jit(lambda x: f(sctx, x))
+            self._add_cache[(kind, shape)] = fn
+        return fn
+
     def _encode_batch(self, values: np.ndarray) -> np.ndarray:
         """(B, N) slot values mod t -> (B, N) poly coeffs mod t.
 
         Batch encoding is the inverse slot-NTT mod t — the same kernel as
-        the ciphertext NTT, instantiated on the single prime t.
+        the ciphertext NTT, instantiated on the single prime t.  Jitted:
+        the eager stage-by-stage NTT pays a dispatch round-trip per stage.
         """
-        slots = np.asarray(values, np.uint32)[..., None, :]  # (B,1,N)
-        coeffs = nttmod.intt(self.slot_ctx, jnp.asarray(slots))
+        slots = jnp.asarray(np.asarray(values, np.uint32))[..., None, :]
+        coeffs = self._slot_fn("slot_enc", slots.shape)(slots)
         return np.asarray(coeffs)[..., 0, :]
 
     def _decode_batch(self, coeffs: np.ndarray) -> np.ndarray:
-        slots = nttmod.ntt(self.slot_ctx, jnp.asarray(
-            np.asarray(coeffs, np.uint32)[..., None, :]))
+        x = jnp.asarray(
+            np.asarray(coeffs, np.uint32))[..., None, :]
+        slots = self._slot_fn("slot_dec", x.shape)(x)
         return np.asarray(slots)[..., 0, :]
 
     def encrypt_polys(self, pt_coeffs: np.ndarray) -> np.ndarray:
@@ -233,10 +244,20 @@ class BFVCipher:
         replaces a Python object-int loop that dominated decrypt time.
         """
         cts = jnp.asarray(cts)
-        ct0 = cts[:, 0]
-        ct1 = cts[:, 1]
-        v_ntt = self.ctx.add(ct0, self.ctx.mul(ct1, self.sk_ntt))
-        v = np.asarray(nttmod.intt(self.ctx, v_ntt))  # (B, k, N) uint32
+        fn = self._add_cache.get(("dec", cts.shape))
+        if fn is None:
+            ctx = self.ctx
+
+            def _dec(cts, sk):
+                # one jit: eager intt runs ~13 Stockham stages as separate
+                # dispatches — ~1 s of pure round-trip latency through a
+                # remote-TPU tunnel
+                return nttmod.intt(ctx, ctx.add(
+                    cts[:, 0], ctx.mul(cts[:, 1], sk)))
+
+            fn = jax.jit(_dec)
+            self._add_cache[("dec", cts.shape)] = fn
+        v = np.asarray(fn(cts, self.sk_ntt))  # (B, k, N) uint32
         t = np.uint64(self.t)
         p = self._crt_p[:, None]  # (k, 1)
         c = (v.astype(np.uint64) * self._crt_inv[:, None]) % p
@@ -261,8 +282,8 @@ class BFVCipher:
             padded[: len(vals)] = vals
             # slot encode on device, chained straight into encrypt_polys:
             # one (B, N) upload total, no intermediate host round-trip
-            slots = jnp.asarray(padded.reshape(n_ct, self.N))
-            pt = nttmod.intt(self.slot_ctx, slots[:, None, :])[:, 0, :]
+            slots = jnp.asarray(padded.reshape(n_ct, self.N))[:, None, :]
+            pt = self._slot_fn("slot_enc", slots.shape)(slots)[:, 0, :]
         else:
             pt = np.zeros((len(vals), self.N), np.uint32)
             pt[:, 0] = vals

@@ -162,18 +162,35 @@ class CKKSCipher:
         return self._encrypt_polys(pt)
 
     def _encrypt_polys(self, pt: np.ndarray) -> np.ndarray:
-        """(B, N) int64 scaled coeffs -> (B, 2, k, N) ciphertexts."""
+        """(B, N) int64 scaled coeffs -> (B, 2, k, N) ciphertexts.
+
+        The coeffs ship as two uint32 planes (lo, hi of coeff + 2^62)
+        and the per-prime residue expansion happens in-jit: uploading
+        precomputed (B, k, N) residues cost k/2 = 3x the bytes — the
+        dominant encrypt cost through a remote-TPU tunnel.
+        """
         B = pt.shape[0]
-        # a/e draws + the ring chain run on device under one jit — see
-        # bfv.encrypt_polys for why (upload + dispatch costs)
         import jax
 
         fn = self._enc_cache.get(B)
         if fn is None:
             ctx, N, k = self.ctx, self.N, self.k
             primes = [int(p) for p in ctx.primes]
+            # constants for the in-jit residue expansion
+            c32 = jnp.asarray(np.array(
+                [(1 << 32) % p for p in primes], np.uint32))[:, None]
+            bias = jnp.asarray(np.array(
+                [(1 << 62) % p for p in primes], np.uint32))[:, None]
 
-            def run(key, m_res, sk_ntt):
+            def run(key, lo, hi, sk_ntt):
+                # residues of coeff = hi*2^32 + lo - 2^62, per prime
+                pk = ctx.p.astype(jnp.uint32)  # (k, 1)
+                lo_r = lo[:, None, :] % pk[None]
+                hi_r = hi[:, None, :] % pk[None]
+                m_res = ctx.sub(
+                    ctx.add(ctx.mul(hi_r, jnp.broadcast_to(
+                        c32, (k, N))), lo_r),
+                    jnp.broadcast_to(bias, (k, N)))
                 keys = jax.random.split(key, k + 1)
                 a = jnp.stack([
                     jax.random.randint(keys[i], (B, N), 0, primes[i],
@@ -182,10 +199,10 @@ class CKKSCipher:
                 ], axis=1)  # (B, k, N) uniform in R_q via CRT
                 e = jnp.clip(jnp.round(
                     jax.random.normal(keys[k], (B, N)) * 3.2), -19, 19
-                ).astype(jnp.int64)
+                ).astype(jnp.int32)
                 ee = e[:, None, :]
-                p = ctx.p.astype(jnp.int64)[None]
-                e_res = jnp.where(ee < 0, ee + p, ee).astype(jnp.uint32)
+                p_i = ctx.p.astype(jnp.int32)[None]
+                e_res = jnp.where(ee < 0, ee + p_i, ee).astype(jnp.uint32)
                 a_ntt = nttmod.ntt(ctx, a)
                 e_ntt = nttmod.ntt(ctx, e_res)
                 m_ntt = nttmod.ntt(ctx, m_res)
@@ -196,7 +213,10 @@ class CKKSCipher:
             fn = jax.jit(run)
             self._enc_cache[B] = fn
         self._enc_key, sub = jax.random.split(self._enc_key)
-        out = fn(sub, jnp.asarray(self._to_res(pt)), self.sk_ntt)
+        biased = np.asarray(pt, np.int64) + (1 << 62)
+        lo = jnp.asarray((biased & 0xFFFFFFFF).astype(np.uint32))
+        hi = jnp.asarray((biased >> 32).astype(np.uint32))
+        out = fn(sub, lo, hi, self.sk_ntt)
         # stays on device (see bfv.encrypt_polys): adds/decrypt consume it
         # directly; np.asarray at the wire boundary only
         return out
@@ -215,10 +235,18 @@ class CKKSCipher:
         wrapping uint64 ops and reinterpreting as int64 recovers it —
         no big-int CRT loop."""
         cts = jnp.asarray(cts)
-        c0 = cts[:, 0]
-        c1 = cts[:, 1]
-        v = np.asarray(nttmod.intt(
-            self.ctx, self.ctx.add(c0, self.ctx.mul(c1, self.sk_ntt))))
+        fn = self._add_cache.get(("dec", cts.shape))
+        if fn is None:
+            ctx = self.ctx
+
+            def _dec(cts, sk):
+                # one jit (eager intt = a dispatch round-trip per stage)
+                return nttmod.intt(ctx, ctx.add(
+                    cts[:, 0], ctx.mul(cts[:, 1], sk)))
+
+            fn = jax.jit(_dec)
+            self._add_cache[("dec", cts.shape)] = fn
+        v = np.asarray(fn(cts, self.sk_ntt))
         p = self._crt_p[:, None]
         c = (v.astype(np.uint64) * self._crt_inv[:, None]) % p  # (B,k,N)
         A = np.rint(

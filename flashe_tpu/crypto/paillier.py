@@ -252,10 +252,14 @@ class PaillierCipher:
         sk = privacy_key
         self._ctx_p = modmath.MontCtx(sk.psquare)
         self._ctx_q = modmath.MontCtx(sk.qsquare)
+        # merged chain: both CRT exponentiations run as ONE per-row-
+        # modulus batch — half the sequential depth (modmath.PairMontCtx)
+        self._pair_ctx = modmath.PairMontCtx(sk.psquare, sk.qsquare)
+        nbits = max(sk.p.bit_length(), sk.q.bit_length())
         self._ep_dev = jnp.asarray(
-            modmath.exponent_digits(sk.p - 1, sk.p.bit_length()))
+            modmath.exponent_digits(sk.p - 1, nbits))
         self._eq_dev = jnp.asarray(
-            modmath.exponent_digits(sk.q - 1, sk.q.bit_length()))
+            modmath.exponent_digits(sk.q - 1, nbits))
 
     def get_n(self):
         return self.n
@@ -294,14 +298,11 @@ class PaillierCipher:
         """Aggregated ciphertexts -> plaintext sums (CRT, device modexp)."""
         cts = [int(c) for c in np.asarray(ciphertexts, dtype=object).ravel()]
         sk = self.privacy_key
-        ctx_p, ctx_q = self._ctx_p, self._ctx_q
-        cp = jnp.asarray(modmath.to_limbs([c % sk.psquare for c in cts], ctx_p.L))
-        cq = jnp.asarray(modmath.to_limbs([c % sk.qsquare for c in cts], ctx_q.L))
-        ep, eq = self._ep_dev, self._eq_dev
-        xp = modmath.mont_to(ctx_p, modmath.mont_exp_window(
-            ctx_p, modmath.mont_from(ctx_p, cp), ep))
-        xq = modmath.mont_to(ctx_q, modmath.mont_exp_window(
-            ctx_q, modmath.mont_from(ctx_q, cq), eq))
+        L = self._pair_ctx.L
+        cp = jnp.asarray(modmath.to_limbs([c % sk.psquare for c in cts], L))
+        cq = jnp.asarray(modmath.to_limbs([c % sk.qsquare for c in cts], L))
+        xp, xq = self._pair_ctx.exp_pair(cp, cq, self._ep_dev,
+                                         self._eq_dev)
         xp_ints = modmath.from_limbs(np.asarray(xp))
         xq_ints = modmath.from_limbs(np.asarray(xq))
         out = []

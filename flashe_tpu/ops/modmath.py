@@ -294,6 +294,128 @@ def exponent_digits(e: int, nbits: int, w: int = 4) -> np.ndarray:
         np.int32)
 
 
+def mont_mul_v(a: jnp.ndarray, b: jnp.ndarray, n_limbs: jnp.ndarray,
+               n_prime: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product with a per-row modulus.
+
+    a, b, n_limbs: (B, L) normalized uint32 limbs (row r reduces mod its
+    own n_r); n_prime: (B,) uint32.  Same math as mont_mul with the
+    modulus broadcast replaced by per-row arrays — used to run the CRT
+    p^2/q^2 exponent chains as ONE batch (see PairMontCtx)."""
+    if a.ndim == 2 and a.shape[0] >= 8 and _use_pallas(a):
+        from flashe_tpu.ops.pallas_modmath import pallas_mont_mul_vec
+
+        return pallas_mont_mul_vec(a, b, n_limbs, n_prime)
+    L = a.shape[1]
+    B = a.shape[0]
+    t = jnp.zeros((B, L + 2), jnp.uint32)
+
+    def step(i, t):
+        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=1)  # (B,1)
+        p = ai * b
+        t = t.at[:, :L].add(p & _BMASK)
+        t = t.at[:, 1 : L + 1].add(p >> _BASE_BITS)
+        m = ((t[:, 0] & _BMASK) * n_prime) & _BMASK  # (B,)
+        q = m[:, None] * n_limbs
+        t = t.at[:, :L].add(q & _BMASK)
+        t = t.at[:, 1 : L + 1].add(q >> _BASE_BITS)
+        carry0 = t[:, 0] >> _BASE_BITS
+        t = jnp.concatenate([t[:, 1:], jnp.zeros((B, 1), jnp.uint32)],
+                            axis=1)
+        t = t.at[:, 0].add(carry0)
+        return t
+
+    t = jax.lax.fori_loop(0, L, step, t)
+    t = normalize(t)
+    low = t[:, :L]
+    need = (t[:, L] > 0) | geq(low, n_limbs)
+    sub = sub_limbs(low, n_limbs)
+    return jnp.where(need[:, None], sub, low)
+
+
+class PairMontCtx:
+    """Two same-width moduli run as one per-row-modulus batch.
+
+    Paillier CRT decryption runs c^(p-1) mod p^2 and c^(q-1) mod q^2 —
+    two windowed exponent scans of identical depth.  Stacking them as
+    rows [0:B) = mod p^2, [B:2B) = mod q^2 halves the sequential chain
+    (the dominant decrypt cost at small batches); the digit selection
+    needs only TWO dynamic table indexes per step (one per modulus), not
+    a per-row gather (which Mosaic cannot lower anyway).
+    """
+
+    def __init__(self, n1: int, n2: int):
+        L = max(-(-n1.bit_length() // _BASE_BITS),
+                -(-n2.bit_length() // _BASE_BITS))
+        self.L = L
+        R = 1 << (_BASE_BITS * L)
+        self.n_pat = jnp.asarray(to_limbs([n1, n2], L))         # (2, L)
+        self.npr_pat = jnp.asarray(np.array(
+            [(-pow(n1, -1, _BASE)) % _BASE,
+             (-pow(n2, -1, _BASE)) % _BASE], np.uint32))        # (2,)
+        self.r2_pat = jnp.asarray(to_limbs(
+            [(R * R) % n1, (R * R) % n2], L))                   # (2, L)
+        self.one_pat = jnp.asarray(to_limbs([R % n1, R % n2], L))
+        self._jit_cache: dict = {}
+
+    def exp_pair(self, c1: jnp.ndarray, c2: jnp.ndarray,
+                 ed1: jnp.ndarray, ed2: jnp.ndarray, w: int = 4):
+        """(c1^e1 mod n1, c2^e2 mod n2) — plain domain in and out.
+
+        c1, c2: (B, L) normalized limbs; ed1, ed2: (ndig,) int32 MSB-first
+        base-2^w digits (equal length; pad the shorter exponent).
+        """
+        B = c1.shape[0]
+        key = ("pair", w, c1.shape, ed1.shape)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            n_pat, npr_pat = self.n_pat, self.npr_pat
+            r2_pat, one_pat = self.r2_pat, self.one_pat
+
+            def _run(c1, c2, ed):
+                nl = jnp.concatenate([
+                    jnp.broadcast_to(n_pat[0], (B, self.L)),
+                    jnp.broadcast_to(n_pat[1], (B, self.L))])
+                npr = jnp.concatenate([
+                    jnp.broadcast_to(npr_pat[0], (B,)),
+                    jnp.broadcast_to(npr_pat[1], (B,))])
+                r2 = jnp.concatenate([
+                    jnp.broadcast_to(r2_pat[0], (B, self.L)),
+                    jnp.broadcast_to(r2_pat[1], (B, self.L))])
+                one = jnp.concatenate([
+                    jnp.broadcast_to(one_pat[0], (B, self.L)),
+                    jnp.broadcast_to(one_pat[1], (B, self.L))])
+                a = jnp.concatenate([c1, c2])
+                base = mont_mul_v(a, r2, nl, npr)  # to Montgomery
+
+                table = [one]
+                for _ in range((1 << w) - 1):
+                    table.append(mont_mul_v(table[-1], base, nl, npr))
+                tbl = jnp.stack(table)  # (2^w, 2B, L)
+
+                def step(acc, digits):
+                    for _ in range(w):
+                        acc = mont_mul_v(acc, acc, nl, npr)
+                    s1 = jax.lax.dynamic_index_in_dim(
+                        tbl, digits[0], axis=0, keepdims=False)[:B]
+                    s2 = jax.lax.dynamic_index_in_dim(
+                        tbl, digits[1], axis=0, keepdims=False)[B:]
+                    sel = jnp.concatenate([s1, s2])
+                    return mont_mul_v(acc, sel, nl, npr), None
+
+                acc, _ = jax.lax.scan(step, one, ed)
+                # leave Montgomery: multiply by limb-one
+                lone = jnp.zeros_like(acc).at[..., 0].set(1)
+                out = mont_mul_v(acc, lone, nl, npr)
+                return out[:B], out[B:]
+
+            fn = jax.jit(_run)
+            self._jit_cache[key] = fn
+        ed = jnp.stack([jnp.asarray(ed1, jnp.int32),
+                        jnp.asarray(ed2, jnp.int32)], axis=1)  # (ndig, 2)
+        return fn(c1, c2, ed)
+
+
 def mont_exp_window(ctx: MontCtx, base_mont: jnp.ndarray,
                     edigits: jnp.ndarray, w: int = 4) -> jnp.ndarray:
     """Fixed-window modexp: ~1.6x fewer Montgomery products than binary

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_mont_mul"]
+__all__ = ["pallas_mont_mul", "pallas_mont_mul_vec"]
 
 _BASE_BITS = 16
 _BASE = 1 << _BASE_BITS
@@ -166,3 +166,101 @@ def pallas_mont_mul(ctx, a, b, interpret: bool = False):
     """
     B, L = a.shape
     return _build(B, L, ctx.n_prime, interpret)(a, b, ctx.n_limbs)
+
+
+def _kernel_vec(a_ref, b_ref, n_ref, npr_ref, out_ref, *, L: int, bt: int):
+    """Per-COLUMN modulus variant of _kernel: n arrives as an (L, bt)
+    tile and n' as a (1, bt) row, so every batch column can reduce by its
+    own modulus — the CRT-decrypt merge runs the p^2 and q^2 exponent
+    chains as one batch (half the sequential depth of two chains)."""
+    b = b_ref[0]              # (L, bt)
+    nl = n_ref[0]             # (L, bt)
+    npr = npr_ref[0]          # (1, bt)
+    zrow = jnp.zeros((1, bt), jnp.uint32)
+    z2 = jnp.zeros((2, bt), jnp.uint32)
+
+    def body(i, t):
+        ai = a_ref[0, pl.dslice(i, 1), :]                       # (1, bt)
+        p = ai * b                                              # (L, bt)
+        t = (t + jnp.concatenate([p & _BMASK, z2], axis=0)
+               + jnp.concatenate([zrow, p >> _BASE_BITS, zrow], axis=0))
+        m = ((t[0:1] & _BMASK) * npr) & _BMASK                  # (1, bt)
+        q = m * nl                                              # (L, bt)
+        t = (t + jnp.concatenate([q & _BMASK, z2], axis=0)
+               + jnp.concatenate([zrow, q >> _BASE_BITS, zrow], axis=0))
+        carry0 = t[0:1] >> _BASE_BITS
+        return jnp.concatenate([t[1:2] + carry0, t[2:], zrow], axis=0)
+
+    t = jax.lax.fori_loop(
+        0, L, body, jnp.zeros((L + 2, bt), jnp.uint32))
+
+    lo = t & _BMASK
+    hi = t >> _BASE_BITS
+    hi_shifted = jnp.concatenate([zrow, hi[:-1]], axis=0)
+    s = lo + hi_shifted
+    lo2 = s & _BMASK
+    hi2 = s >> _BASE_BITS
+    hi2_shifted = jnp.concatenate([zrow, hi2[:-1]], axis=0)
+    tn = _resolve_carries(lo2 + hi2_shifted)
+
+    low = tn[:L]
+    comp = _BMASK - nl
+    one0 = jnp.concatenate(
+        [jnp.ones((1, bt), jnp.uint32),
+         jnp.zeros((L - 1, bt), jnp.uint32)], axis=0)
+    sub, carry_out = _resolve_carries(low + comp + one0,
+                                      with_carry_out=True)
+    need = (tn[L : L + 1] > 0) | (carry_out > 0)   # (1, bt)
+    out_ref[0] = jnp.where(need, sub, low)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_vec(B: int, L: int, interpret: bool):
+    bt = _batch_tile(L)
+    padded = -(-B // bt) * bt
+    n_tiles = padded // bt
+    kern = functools.partial(_kernel_vec, L=L, bt=bt)
+    blk = (1, L, bt)
+
+    def run(a, b, n_rows, npr_rows):
+        if padded != B:
+            pad = ((0, padded - B), (0, 0))
+            a = jnp.pad(a, pad)
+            b = jnp.pad(b, pad)
+            n_rows = jnp.pad(n_rows, pad)
+            npr_rows = jnp.pad(npr_rows, ((0, padded - B),))
+        a3 = a.reshape(n_tiles, bt, L).transpose(0, 2, 1)
+        b3 = b.reshape(n_tiles, bt, L).transpose(0, 2, 1)
+        n3 = n_rows.reshape(n_tiles, bt, L).transpose(0, 2, 1)
+        npr3 = npr_rows.reshape(n_tiles, 1, bt)
+        out = pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bt), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, L, bt), jnp.uint32),
+            interpret=interpret,
+        )(a3, b3, n3, npr3)
+        return out.transpose(0, 2, 1).reshape(padded, L)[:B]
+
+    return jax.jit(run)
+
+
+def pallas_mont_mul_vec(a, b, n_rows, npr_rows, interpret: bool = False):
+    """Montgomery product with a per-row modulus.
+
+    a, b, n_rows: (B, L) uint32 limbs (each row's values < its modulus);
+    npr_rows: (B,) uint32 per-row -n^-1 mod 2^16.
+    """
+    B, L = a.shape
+    return _build_vec(B, L, interpret)(a, b, n_rows, npr_rows)

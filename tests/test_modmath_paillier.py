@@ -132,3 +132,71 @@ def test_pallas_mont_mul_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(modmath.from_limbs(np.asarray(got)), dtype=object),
         np.asarray(want_ints, dtype=object))
+
+
+def test_mont_mul_v_per_row_modulus():
+    """Per-row-modulus Montgomery product (the merged CRT chain core)
+    matches the per-context mont_mul row by row, XLA and Pallas
+    (interpret) paths."""
+    from flashe_tpu.ops.pallas_modmath import pallas_mont_mul_vec
+
+    rng = np.random.RandomState(11)
+    nbits = 256
+    mods = []
+    while len(mods) < 2:
+        n = (int.from_bytes(rng.bytes(nbits // 8), "big")
+             | (1 << (nbits - 1))) | 1
+        mods.append(n)
+    n1, n2 = mods
+    L = modmath.MontCtx(n1).L
+    B = 5
+    a1 = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n1
+          for _ in range(B)]
+    b1 = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n1
+          for _ in range(B)]
+    a2 = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n2
+          for _ in range(B)]
+    b2 = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n2
+          for _ in range(B)]
+    a = jnp.asarray(modmath.to_limbs(a1 + a2, L))
+    b = jnp.asarray(modmath.to_limbs(b1 + b2, L))
+    nl = jnp.asarray(modmath.to_limbs([n1] * B + [n2] * B, L))
+    npr = jnp.asarray(np.array(
+        [(-pow(n1, -1, 1 << 16)) % (1 << 16)] * B
+        + [(-pow(n2, -1, 1 << 16)) % (1 << 16)] * B, np.uint32))
+    got = modmath.mont_mul_v(a, b, nl, npr)
+    ctx1, ctx2 = modmath.MontCtx(n1, L), modmath.MontCtx(n2, L)
+    want1 = modmath.mont_mul(ctx1, a[:B], b[:B])
+    want2 = modmath.mont_mul(ctx2, a[B:], b[B:])
+    np.testing.assert_array_equal(np.asarray(got[:B]), np.asarray(want1))
+    np.testing.assert_array_equal(np.asarray(got[B:]), np.asarray(want2))
+    got_pl = pallas_mont_mul_vec(a, b, nl, npr, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_pl), np.asarray(got))
+
+
+def test_pair_ctx_exp_matches_pow():
+    """PairMontCtx runs both CRT exponent chains as one batch and
+    matches python pow() on each side."""
+    rng = np.random.RandomState(12)
+    nbits = 256
+    n1 = (int.from_bytes(rng.bytes(nbits // 8), "big")
+          | (1 << (nbits - 1))) | 1
+    n2 = (int.from_bytes(rng.bytes(nbits // 8), "big")
+          | (1 << (nbits - 1))) | 1
+    pair = modmath.PairMontCtx(n1, n2)
+    B = 3
+    c1 = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n1
+          for _ in range(B)]
+    c2 = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n2
+          for _ in range(B)]
+    e1 = int.from_bytes(rng.bytes(16), "big")
+    e2 = int.from_bytes(rng.bytes(16), "big")
+    nb = max(e1.bit_length(), e2.bit_length())
+    x1, x2 = pair.exp_pair(
+        jnp.asarray(modmath.to_limbs(c1, pair.L)),
+        jnp.asarray(modmath.to_limbs(c2, pair.L)),
+        modmath.exponent_digits(e1, nb), modmath.exponent_digits(e2, nb))
+    assert modmath.from_limbs(np.asarray(x1)) == [
+        pow(c, e1, n1) for c in c1]
+    assert modmath.from_limbs(np.asarray(x2)) == [
+        pow(c, e2, n2) for c in c2]
