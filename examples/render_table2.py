@@ -45,13 +45,18 @@ def _size(b):
     return f"{b / 1024:.2f} KB"
 
 
-def _cell(ours, ref):
+def _cell(ours, ref, floor=None):
     if ours is None:
         return f"— (ref {ref} s)" if ref is not None else "—"
     if ref is None:
         return f"{ours} s"
     ratio = ref / ours if ours > 0 else float("inf")
-    return f"{ours} s ({ratio:.1f}x)"
+    mark = ""
+    if floor is not None and ours < 2.5 * floor and ratio < 1.0:
+        # the cell is at the measured dispatch+fetch floor of the remote
+        # tunnel — kernel time is not what's being measured
+        mark = " †"
+    return f"{ours} s ({ratio:.1f}x){mark}"
 
 
 def main(argv=None):
@@ -61,11 +66,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     rows = None
+    floor = None
     with open(args.json_path) as f:
         for line in f:
             line = line.strip()
             if line.startswith("{") and '"table2"' in line:
-                rows = json.loads(line)["rows"]
+                d = json.loads(line)
+                rows = d["rows"]
+                floor = d.get("tunnel_floor_s")
     if rows is None:
         raise SystemExit("no table2 JSON line found")
 
@@ -92,9 +100,9 @@ def main(argv=None):
             f"| {r['elements']:,} | {r['algorithm']} | "
             f"{_size(r['ciphertext_bytes'])} / {refsz} | "
             f"{r['inflation_x']}x | "
-            f"{_cell(r['encrypt_s'], ref[1] if ref else None)} | "
-            f"{_cell(r['add10_s'], ref[3] if ref else None)} | "
-            f"{_cell(r['decrypt_s'], ref[2] if ref else None)} | "
+            f"{_cell(r['encrypt_s'], ref[1] if ref else None, floor)} | "
+            f"{_cell(r['add10_s'], ref[3] if ref else None, floor)} | "
+            f"{_cell(r['decrypt_s'], ref[2] if ref else None, floor)} | "
             f"{'yes' if r['correct'] else 'NO'} |")
     lines += [
         "",
@@ -108,7 +116,13 @@ def main(argv=None):
         "'(extrapolated)' rows time a measured sub-slice (512-2048 "
         "elements, or the full first size for paillier) and scale "
         "linearly — the per-ciphertext work is independent, so cost is "
-        "linear in n; run `--full` for end-to-end timings of those rows.",
+        "linear in n; run `--full` for end-to-end timings of those rows."
+        + (f"  '†' marks below-1x cells sitting at the measured remote-"
+           f"tunnel dispatch+fetch floor ({floor} s for a trivial 8-"
+           f"element op in the same harness): the reference's sub-"
+           f"{floor}s cells are C++ ops in host RAM, unreachable through "
+           f"any network-attached accelerator regardless of kernel "
+           f"speed." if floor is not None else ""),
         "",
     ]
     out = "\n".join(lines)

@@ -258,6 +258,10 @@ class BFVCipher:
             fn = jax.jit(_dec)
             self._add_cache[("dec", cts.shape)] = fn
         v = np.asarray(fn(cts, self.sk_ntt))  # (B, k, N) uint32
+        return self._round_crt(v)
+
+    def _round_crt(self, v: np.ndarray) -> np.ndarray:
+        """(B, k, N) residues of t*[c0 + c1*s] -> (B, N) coeffs mod t."""
         t = np.uint64(self.t)
         p = self._crt_p[:, None]  # (k, 1)
         c = (v.astype(np.uint64) * self._crt_inv[:, None]) % p
@@ -290,11 +294,29 @@ class BFVCipher:
         return self.encrypt_polys(pt)
 
     def decrypt(self, cts, count: int) -> np.ndarray:
-        pt = self.decrypt_polys(cts)
         if self.batching:
+            pt = self.decrypt_polys(cts)
             slots = self._decode_batch(pt.astype(np.uint32) % self.t)
             return slots.reshape(-1)[:count].astype(np.uint32)
-        return pt[:, 0][:count].astype(np.uint32)
+        # no-batch: only coefficient 0 of each ciphertext carries a value
+        # (encrypt puts it there), so slice on DEVICE before download —
+        # (B, k) instead of (B, k, N) bytes (N=2048: a 2048x cut of the
+        # dominant no-batch decrypt cost)
+        cts = jnp.asarray(cts)
+        fn = self._add_cache.get(("dec0", cts.shape))
+        if fn is None:
+            ctx = self.ctx
+
+            def _dec0(cts, sk):
+                v = nttmod.intt(ctx, ctx.add(
+                    cts[:, 0], ctx.mul(cts[:, 1], sk)))
+                return v[:, :, 0]
+
+            fn = jax.jit(_dec0)
+            self._add_cache[("dec0", cts.shape)] = fn
+        v0 = np.asarray(fn(cts, self.sk_ntt))  # (B, k)
+        m = self._round_crt(v0[:, :, None])[:, 0]
+        return m[:count].astype(np.uint32)
 
     def add_ciphertexts(self, ct_arrays):
         """Ciphertext aggregate: one jitted chain of residue adds.

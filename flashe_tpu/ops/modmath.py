@@ -366,6 +366,8 @@ class PairMontCtx:
         base-2^w digits (equal length; pad the shorter exponent).
         """
         B = c1.shape[0]
+        if B >= 8 and _use_pallas(c1):
+            return self._exp_pair_fused(c1, c2, ed1, ed2, w)
         key = ("pair", w, c1.shape, ed1.shape)
         fn = self._jit_cache.get(key)
         if fn is None:
@@ -414,6 +416,40 @@ class PairMontCtx:
         ed = jnp.stack([jnp.asarray(ed1, jnp.int32),
                         jnp.asarray(ed2, jnp.int32)], axis=1)  # (ndig, 2)
         return fn(c1, c2, ed)
+
+    def _exp_pair_fused(self, c1, c2, ed1, ed2, w: int,
+                        interpret: bool = False):
+        """Both chains through the single-launch fused modexp kernel
+        (pallas_modmath.pallas_mont_exp_tiles): per-product pallas calls
+        cost per-launch overhead x ~1300 sequential products — at small
+        batches that overhead dominates decrypt wall time."""
+        from flashe_tpu.ops.pallas_modmath import (
+            _batch_tile, pallas_mont_exp_tiles)
+
+        B, L = c1.shape
+        bt = _batch_tile(L)
+        Bp = -(-B // bt) * bt
+        pad = ((0, Bp - B), (0, 0))
+        a = jnp.concatenate([jnp.pad(c1, pad), jnp.pad(c2, pad)])
+        half = [jnp.broadcast_to(x, (Bp, L)) for x in
+                (self.n_pat[0], self.n_pat[1], self.r2_pat[0],
+                 self.r2_pat[1], self.one_pat[0], self.one_pat[1])]
+        n_rows = jnp.concatenate(half[0:2])
+        r2_rows = jnp.concatenate(half[2:4])
+        one_rows = jnp.concatenate(half[4:6])
+        npr_rows = jnp.concatenate([
+            jnp.broadcast_to(self.npr_pat[0], (Bp,)),
+            jnp.broadcast_to(self.npr_pat[1], (Bp,))])
+        tiles_half = Bp // bt
+        ed1 = np.asarray(ed1, np.int32)
+        ed2 = np.asarray(ed2, np.int32)
+        tile_digits = np.concatenate([
+            np.broadcast_to(ed1, (tiles_half, ed1.shape[0])),
+            np.broadcast_to(ed2, (tiles_half, ed2.shape[0]))])
+        out = pallas_mont_exp_tiles(a, n_rows, npr_rows, r2_rows,
+                                    one_rows, tile_digits, w=w,
+                                    interpret=interpret)
+        return out[:B], out[Bp : Bp + B]
 
 
 def mont_exp_window(ctx: MontCtx, base_mont: jnp.ndarray,

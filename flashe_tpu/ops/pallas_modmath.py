@@ -264,3 +264,155 @@ def pallas_mont_mul_vec(a, b, n_rows, npr_rows, interpret: bool = False):
     """
     B, L = a.shape
     return _build_vec(B, L, interpret)(a, b, n_rows, npr_rows)
+
+
+# ---------------------------------------------------------------------------
+# fused windowed modexp: the whole exponent scan in ONE kernel
+# ---------------------------------------------------------------------------
+
+def _cios_val(aa, bb, nl, npr, *, L: int, bt: int):
+    """Montgomery CIOS where BOTH operands are VMEM values (per-column
+    modulus).  The per-step limb read of `aa` becomes a static row-0 read
+    plus a one-row rotation (dynamic slicing of values cannot lower).
+    Returns the normalized (L, bt) product < n."""
+    zrow = jnp.zeros((1, bt), jnp.uint32)
+    z2 = jnp.zeros((2, bt), jnp.uint32)
+
+    def body(i, carry):
+        av, t = carry
+        ai = av[0:1]
+        av = jnp.concatenate([av[1:], ai], axis=0)
+        p = ai * bb
+        t = (t + jnp.concatenate([p & _BMASK, z2], axis=0)
+               + jnp.concatenate([zrow, p >> _BASE_BITS, zrow], axis=0))
+        m = ((t[0:1] & _BMASK) * npr) & _BMASK
+        q = m * nl
+        t = (t + jnp.concatenate([q & _BMASK, z2], axis=0)
+               + jnp.concatenate([zrow, q >> _BASE_BITS, zrow], axis=0))
+        carry0 = t[0:1] >> _BASE_BITS
+        t = jnp.concatenate([t[1:2] + carry0, t[2:], zrow], axis=0)
+        return (av, t)
+
+    _, t = jax.lax.fori_loop(
+        0, L, body, (aa, jnp.zeros((L + 2, bt), jnp.uint32)))
+
+    lo = t & _BMASK
+    hi = t >> _BASE_BITS
+    s = lo + jnp.concatenate([zrow, hi[:-1]], axis=0)
+    lo2 = s & _BMASK
+    hi2 = s >> _BASE_BITS
+    tn = _resolve_carries(
+        lo2 + jnp.concatenate([zrow, hi2[:-1]], axis=0))
+    low = tn[:L]
+    comp = _BMASK - nl
+    one0 = jnp.concatenate(
+        [jnp.ones((1, bt), jnp.uint32),
+         jnp.zeros((L - 1, bt), jnp.uint32)], axis=0)
+    sub, carry_out = _resolve_carries(low + comp + one0,
+                                      with_carry_out=True)
+    need = (tn[L : L + 1] > 0) | (carry_out > 0)
+    return jnp.where(need, sub, low)
+
+
+def _kernel_exp(dig_ref, a_ref, n_ref, npr_ref, r2_ref, one_ref, out_ref,
+                *, L: int, bt: int, w: int, ndig: int):
+    """Whole fixed-window modexp per batch tile, VMEM-resident.
+
+    Launching one pallas mont_mul per product pays per-call overhead x
+    ~1300 sequential products per exponent — at small batches that
+    overhead IS the decrypt time.  This kernel runs the table build and
+    the full digit scan in one launch; digits live in SMEM (one row per
+    tile, so a tile must be single-modulus — the caller pads each
+    modulus's rows to a tile boundary).  Constant-time in the exponent
+    value: every digit does w squarings + one one-hot table multiply.
+    """
+    pid = pl.program_id(0)
+    nl = n_ref[0]
+    npr = npr_ref[0]
+    one = one_ref[0]
+    base = _cios_val(a_ref[0], r2_ref[0], nl, npr, L=L, bt=bt)  # to mont
+
+    tbl = [one]
+    for _ in range((1 << w) - 1):
+        tbl.append(_cios_val(tbl[-1], base, nl, npr, L=L, bt=bt))
+    tbl_s = jnp.stack(tbl)  # (2^w, L, bt)
+
+    def step(s, acc):
+        for _ in range(w):
+            acc = _cios_val(acc, acc, nl, npr, L=L, bt=bt)
+        d = dig_ref[pid, s]
+        sel = jnp.zeros((L, bt), jnp.uint32)
+        for ti in range(1 << w):
+            sel = jnp.where(d == ti, tbl_s[ti], sel)
+        return _cios_val(acc, sel, nl, npr, L=L, bt=bt)
+
+    acc = jax.lax.fori_loop(0, ndig, step, one)
+    lone = jnp.concatenate(
+        [jnp.ones((1, bt), jnp.uint32),
+         jnp.zeros((L - 1, bt), jnp.uint32)], axis=0)
+    out_ref[0] = _cios_val(acc, lone, nl, npr, L=L, bt=bt)  # from mont
+
+
+@functools.lru_cache(maxsize=None)
+def _build_exp(n_tiles: int, L: int, w: int, ndig: int, interpret: bool):
+    bt = _batch_tile(L)
+    kern = functools.partial(_kernel_exp, L=L, bt=bt, w=w, ndig=ndig)
+    blk = (1, L, bt)
+
+    def run(a3, n3, npr3, r23, one3, digs):
+        return pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[
+                # whole digit table in SMEM; the kernel row-indexes by
+                # program id (blocked SMEM specs demand (8,128)-divisible
+                # blocks, which a (1, ndig) row is not)
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bt), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, L, bt), jnp.uint32),
+            interpret=interpret,
+        )(digs, a3, n3, npr3, r23, one3)
+
+    return jax.jit(run)
+
+
+def _to_tiles(x, n_tiles, bt, L):
+    return x.reshape(n_tiles, bt, L).transpose(0, 2, 1)
+
+
+def pallas_mont_exp_tiles(a, n_rows, npr_rows, r2_rows, one_rows,
+                          tile_digits, w: int = 4,
+                          interpret: bool = False):
+    """Fused windowed modexp over tile-aligned rows.
+
+    a, n_rows, r2_rows, one_rows: (B, L) with B a multiple of the batch
+    tile; npr_rows: (B,); tile_digits: (B // bt, ndig) int32 MSB-first
+    base-2^w digits, one row per tile (all rows of a tile share a
+    modulus AND an exponent).  Returns a^e mod n, plain domain (r2/one
+    rows carry the per-modulus Montgomery constants).
+    """
+    B, L = a.shape
+    bt = _batch_tile(L)
+    assert B % bt == 0, "pad rows to the batch tile"
+    n_tiles = B // bt
+    ndig = tile_digits.shape[1]
+    a3 = _to_tiles(a, n_tiles, bt, L)
+    n3 = _to_tiles(n_rows, n_tiles, bt, L)
+    npr3 = npr_rows.reshape(n_tiles, 1, bt)
+    r23 = _to_tiles(r2_rows, n_tiles, bt, L)
+    one3 = _to_tiles(one_rows, n_tiles, bt, L)
+    out = _build_exp(n_tiles, L, w, ndig, interpret)(
+        a3, n3, npr3, r23, one3, jnp.asarray(tile_digits, jnp.int32))
+    return out.transpose(0, 2, 1).reshape(B, L)

@@ -76,6 +76,19 @@ def main():
             np.testing.assert_array_equal(
                 np.asarray(s.data).reshape(-1).astype(np.int64), want[sl])
 
+    # AOT-compile both round programs, then rendezvous: every process
+    # must reach the FIRST collective within the Gloo exchange's ~30 s
+    # window, and concurrent XLA compiles on few cores spread far wider
+    # than that (see multihost.coordination_barrier)
+    survivors0 = tuple(range(n_clients - 1)) if n_clients > 1 else (0,)
+    multihost.multihost_encrypted_aggregate(
+        mesh, rk, q_local, jnp.int32(0), INT_BITS, n_clients,
+        compile_only=True)
+    multihost.multihost_encrypted_aggregate(
+        mesh, rk, q_local, jnp.int32(1), INT_BITS, n_clients,
+        survivors=survivors0, compile_only=True)
+    multihost.coordination_barrier("compiled")
+
     # round 0: full participation
     t0 = time.perf_counter()
     out = multihost.multihost_encrypted_aggregate(
@@ -86,7 +99,7 @@ def main():
     check(out, want)
 
     # round 1: dropout — last client's ciphertext excluded via survivors
-    survivors = tuple(range(n_clients - 1)) if n_clients > 1 else (0,)
+    survivors = survivors0
     out = multihost.multihost_encrypted_aggregate(
         mesh, rk, q_local, jnp.int32(1), INT_BITS, n_clients,
         survivors=survivors)

@@ -33,7 +33,8 @@ import numpy as np
 
 __all__ = [
     "init_multihost", "make_multihost_mesh", "local_client_rows",
-    "multihost_encrypted_aggregate", "launch_local", "free_port",
+    "multihost_encrypted_aggregate", "coordination_barrier",
+    "launch_local", "free_port",
 ]
 
 
@@ -96,15 +97,39 @@ def local_client_rows(mesh, num_clients: int) -> Sequence[int]:
     return rows
 
 
+def coordination_barrier(name: str, timeout_s: float = 1200.0) -> None:
+    """Rendezvous all processes through the jax.distributed coordination
+    service (plain RPC — no device collectives, so it works BEFORE the
+    Gloo/ICI communicators exist).
+
+    Why it exists: the CPU-collective (Gloo) rendezvous publishes each
+    process's address to the coordination KV store and waits only ~30 s
+    (hard XLA default) for the peers' keys.  With more processes than
+    cores, the first process to finish its XLA compile enters that wait
+    while the stragglers are still compiling — reproducibly longer than
+    30 s, killing the cohort.  AOT-compiling first and meeting at this
+    barrier makes every process enter the Gloo exchange within
+    milliseconds of each other (see _multihost_child.py)."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def multihost_encrypted_aggregate(mesh, rk, q_local, iter_index,
                                   int_bits: int, num_clients: int,
-                                  survivors=None):
+                                  survivors=None, compile_only=False):
     """One encrypted round where each process supplies only ITS client
     rows (q_local: (local_clients, N) uint32) — the multi-process
     counterpart of parallel.sharded.encrypted_aggregate.
 
     Returns the decrypted aggregate as a global array sharded over the
     lane axis; callers read their addressable shards or allgather.
+
+    compile_only=True lowers and compiles the program without executing
+    it (populating the compile cache) — pair with coordination_barrier
+    so all processes hit the first real collective together.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -115,6 +140,11 @@ def multihost_encrypted_aggregate(mesh, rk, q_local, iter_index,
     sharding = NamedSharding(mesh, P("clients", "lanes"))
     q_global = jax.make_array_from_process_local_data(
         sharding, np.asarray(q_local), (num_clients, n))
+    if compile_only:
+        encrypted_aggregate.lower(
+            mesh, rk, q_global, iter_index, int_bits, num_clients,
+            survivors=survivors).compile()
+        return None
     return encrypted_aggregate(mesh, rk, q_global, iter_index, int_bits,
                                num_clients, survivors=survivors)
 

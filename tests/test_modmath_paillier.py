@@ -200,3 +200,32 @@ def test_pair_ctx_exp_matches_pow():
         pow(c, e1, n1) for c in c1]
     assert modmath.from_limbs(np.asarray(x2)) == [
         pow(c, e2, n2) for c in c2]
+
+
+def test_fused_exp_kernel_matches_scan():
+    """The single-launch fused modexp kernel (interpret mode) matches the
+    pair-chain scan path bit for bit."""
+    rng = np.random.RandomState(13)
+    nbits = 128
+    n1 = (int.from_bytes(rng.bytes(nbits // 8), "big")
+          | (1 << (nbits - 1))) | 1
+    n2 = (int.from_bytes(rng.bytes(nbits // 8), "big")
+          | (1 << (nbits - 1))) | 1
+    pair = modmath.PairMontCtx(n1, n2)
+    B = 3
+    c1 = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n1
+          for _ in range(B)]
+    c2 = [int.from_bytes(rng.bytes(nbits // 8 - 1), "big") % n2
+          for _ in range(B)]
+    e1 = int.from_bytes(rng.bytes(8), "big")
+    e2 = int.from_bytes(rng.bytes(8), "big")
+    nb = max(e1.bit_length(), e2.bit_length())
+    ed1 = modmath.exponent_digits(e1, nb)
+    ed2 = modmath.exponent_digits(e2, nb)
+    a1 = jnp.asarray(modmath.to_limbs(c1, pair.L))
+    a2 = jnp.asarray(modmath.to_limbs(c2, pair.L))
+    x1, x2 = pair._exp_pair_fused(a1, a2, ed1, ed2, w=4, interpret=True)
+    assert modmath.from_limbs(np.asarray(x1)) == [
+        pow(c, e1, n1) for c in c1]
+    assert modmath.from_limbs(np.asarray(x2)) == [
+        pow(c, e2, n2) for c in c2]
