@@ -564,7 +564,7 @@ def run_table2(args):
         if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
             np.asarray(leaf.ravel()[0])  # true completion (tunnel-safe)
 
-    def timeit(f, warm=True):
+    def timeit(f, warm=True, reps=3):
         """Steady-state timing: one untimed warm call first (XLA compile
         is per-shape and amortizes over a training run; the reference's
         library crypto had no JIT to pay).  Device results are blocked on
@@ -572,13 +572,23 @@ def run_table2(args):
         tunnel — see true_loop_time); host results (object arrays) are
         synchronous already.  Sub-ms device cells therefore carry the
         ~30 ms fetch latency as an upper bound — still orders under the
-        reference's seconds-scale cells."""
+        reference's seconds-scale cells.
+
+        The reported figure is the MEDIAN of `reps` timed calls: the
+        shared remote tunnel has multi-x run-to-run variance, and a
+        single sample regularly mischaracterizes a cell in either
+        direction (same reasoning as the headline's --stats)."""
         if warm:
             _done(f())
-        t0 = time.perf_counter()
-        out = f()
-        _done(out)
-        return time.perf_counter() - t0, out
+        ts = []
+        out = None
+        for _ in range(max(reps, 1)):
+            t0 = time.perf_counter()
+            out = f()
+            _done(out)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2], out
 
     # measured dispatch+completion floor: the cost of timing ANY device
     # op this way (one jit dispatch + a 1-element host fetch through the
