@@ -113,19 +113,6 @@ class CKKSCipher:
                     np.uint32)
         return out
 
-    def _crt_centered(self, res: np.ndarray) -> np.ndarray:
-        """(k, N) residues -> object ints centered in (-q/2, q/2]."""
-        q = self.q
-        total = np.zeros(self.N, dtype=object)
-        for ki, p in enumerate(self.ctx.primes):
-            qi = q // p
-            inv = pow(qi % p, -1, p)
-            total += res[ki].astype(object) * (qi * inv)
-        total %= q
-        return np.array(
-            [int(x) - q if x > q // 2 else int(x) for x in total],
-            dtype=object)
-
     # -- encode / decode (host, float64) -----------------------------------
 
     def _encode(self, values: np.ndarray) -> np.ndarray:
@@ -222,9 +209,8 @@ class CKKSCipher:
         return out
 
     def decrypt(self, cts, count: int) -> np.ndarray:
-        return np.asarray(
-            self._decrypt_slots(cts)).reshape(-1)[:count].astype(
-                np.float64)
+        coeffs = np.asarray(self._decrypt_coeff_f32(cts))
+        return self._decode(coeffs).reshape(-1)[:count]
 
     @staticmethod
     def _mul64(a, b_lo, b_hi):
@@ -244,16 +230,17 @@ class CKKSCipher:
         hi = hi + a * b_hi  # wrapping: only mod-2^32 of the high part
         return lo, hi
 
-    def _decrypt_slots(self, cts):
-        """(B, 2, k, N) cts -> (B, slots) float32 decoded slots, entirely
-        on device: intt + per-prime CRT digits + the mod-2^64 centered
-        reconstruction (uint32 pair arithmetic) + float32 inverse-FFT
-        decode.  Downloading only the decoded slots cuts the decrypt
-        transfer from k (B,N) residue planes to one (B, slots) float
-        plane; float32 decode error is ~|coeff|*6e-8/scale ~ 1e-6 per
-        slot — far inside CKKS's own approximation budget."""
+    def _decrypt_coeff_f32(self, cts):
+        """(B, 2, k, N) cts -> (B, N) float32 centered coeffs, on device:
+        intt + per-prime CRT digits + the mod-2^64 centered
+        reconstruction in uint32 pair arithmetic.  Downloading one f32
+        plane instead of k uint32 residue planes cuts decrypt transfer
+        6x; float32 coeff error is ~|coeff|*6e-8 -> ~1e-6 per decoded
+        slot after /scale — far inside CKKS's own approximation budget.
+        (The final inverse-FFT decode stays on host: this TPU backend
+        has no complex FFT lowering.)"""
         cts = jnp.asarray(cts)
-        fn = self._add_cache.get(("decslots", cts.shape))
+        fn = self._add_cache.get(("deccoef", cts.shape))
         if fn is None:
             ctx, k, N = self.ctx, self.k, self.N
             inv = jnp.asarray(
@@ -267,9 +254,6 @@ class CKKSCipher:
                 (self._crt_qi64 >> np.uint64(32)).astype(np.uint32))
             q_lo = jnp.uint32(int(self._q64) & 0xFFFFFFFF)
             q_hi = jnp.uint32(int(self._q64) >> 32)
-            twist = jnp.asarray(self._twist.astype(np.complex64))
-            bins = jnp.asarray(self._bins)
-            scale = np.float32(self.scale)
 
             def run(cts, sk):
                 v = nttmod.intt(ctx, ctx.add(
@@ -293,47 +277,11 @@ class CKKSCipher:
                 coeff = (jax.lax.bitcast_convert_type(
                     res_hi, jnp.int32).astype(jnp.float32) * 4294967296.0
                     + res_lo.astype(jnp.float32))  # centered, approx
-                spec = jnp.fft.ifft(
-                    coeff.astype(jnp.complex64) * twist[None],
-                    axis=-1) * np.float32(N)
-                return jnp.take(spec.real, bins, axis=-1) / scale
+                return coeff
 
             fn = jax.jit(run)
-            self._add_cache[("decslots", cts.shape)] = fn
+            self._add_cache[("deccoef", cts.shape)] = fn
         return fn(cts, self.sk_ntt)
-
-    def _decrypt_coeffs(self, cts) -> np.ndarray:
-        """(B, 2, k, N) cts -> (B, N) centered int64 coeffs, vectorized.
-
-        coeff = sum_i c_i*(q/p_i) - A*q exactly, with c_i = |v_i *
-        inv_i|_{p_i} and A = round(sum_i c_i/p_i) (the fractional sum
-        sits within ~2^-100 of an integer because |coeff| << q, so
-        float64 rounding is exact and lands on the *centered*
-        representative).  Since |coeff| < 2^63, computing mod 2^64 with
-        wrapping uint64 ops and reinterpreting as int64 recovers it —
-        no big-int CRT loop."""
-        cts = jnp.asarray(cts)
-        fn = self._add_cache.get(("dec", cts.shape))
-        if fn is None:
-            ctx = self.ctx
-
-            def _dec(cts, sk):
-                # one jit (eager intt = a dispatch round-trip per stage)
-                return nttmod.intt(ctx, ctx.add(
-                    cts[:, 0], ctx.mul(cts[:, 1], sk)))
-
-            fn = jax.jit(_dec)
-            self._add_cache[("dec", cts.shape)] = fn
-        v = np.asarray(fn(cts, self.sk_ntt))
-        p = self._crt_p[:, None]
-        c = (v.astype(np.uint64) * self._crt_inv[:, None]) % p  # (B,k,N)
-        A = np.rint(
-            (c.astype(np.float64) / p.astype(np.float64)).sum(axis=1))
-        with np.errstate(over="ignore"):
-            coeff64 = (c * self._crt_qi64[:, None]).sum(
-                axis=1, dtype=np.uint64)
-            coeff64 = coeff64 - A.astype(np.uint64) * self._q64
-        return coeff64.view(np.int64)
 
     def encrypt_no_batch(self, values: np.ndarray) -> np.ndarray:
         """One value per ciphertext in slot 0 (the reference's _no_batch
@@ -346,10 +294,9 @@ class CKKSCipher:
         return self._encrypt_polys(pt)
 
     def decrypt_no_batch(self, cts, count: int) -> np.ndarray:
-        """Slot 0 of each ciphertext, decoded on device in one pass
-        (only (B,) floats ever download)."""
-        slots = self._decrypt_slots(cts)[:, 0]
-        return np.asarray(slots)[:count].astype(np.float64)
+        """Slot 0 of each ciphertext, batched decode."""
+        coeffs = np.asarray(self._decrypt_coeff_f32(cts))
+        return self._decode(coeffs)[:, 0][:count]
 
     def add_ciphertexts(self, ct_arrays):
         """Ciphertext aggregate: one jitted chain of residue adds,

@@ -422,34 +422,51 @@ class PairMontCtx:
         """Both chains through the single-launch fused modexp kernel
         (pallas_modmath.pallas_mont_exp_tiles): per-product pallas calls
         cost per-launch overhead x ~1300 sequential products — at small
-        batches that overhead dominates decrypt wall time."""
-        from flashe_tpu.ops.pallas_modmath import (
-            _batch_tile, pallas_mont_exp_tiles)
+        batches that overhead dominates decrypt wall time.
 
+        All glue (padding, modulus broadcasts, tile transposes, unpad)
+        runs INSIDE one jit with the kernel: a dozen eager ops around
+        the launch cost a dispatch round-trip each through a remote
+        tunnel — several times the kernel itself at small batches."""
         B, L = c1.shape
-        bt = _batch_tile(L)
-        Bp = -(-B // bt) * bt
-        pad = ((0, Bp - B), (0, 0))
-        a = jnp.concatenate([jnp.pad(c1, pad), jnp.pad(c2, pad)])
-        half = [jnp.broadcast_to(x, (Bp, L)) for x in
-                (self.n_pat[0], self.n_pat[1], self.r2_pat[0],
-                 self.r2_pat[1], self.one_pat[0], self.one_pat[1])]
-        n_rows = jnp.concatenate(half[0:2])
-        r2_rows = jnp.concatenate(half[2:4])
-        one_rows = jnp.concatenate(half[4:6])
-        npr_rows = jnp.concatenate([
-            jnp.broadcast_to(self.npr_pat[0], (Bp,)),
-            jnp.broadcast_to(self.npr_pat[1], (Bp,))])
-        tiles_half = Bp // bt
         ed1 = np.asarray(ed1, np.int32)
         ed2 = np.asarray(ed2, np.int32)
+        key = ("pairf", w, c1.shape, ed1.shape[0], interpret)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            from flashe_tpu.ops.pallas_modmath import (
+                _batch_tile, pallas_mont_exp_tiles)
+
+            bt = _batch_tile(L)
+            Bp = -(-B // bt) * bt
+            n_pat, npr_pat = self.n_pat, self.npr_pat
+            r2_pat, one_pat = self.r2_pat, self.one_pat
+
+            def _run(c1, c2, tile_digits):
+                pad = ((0, Bp - B), (0, 0))
+                a = jnp.concatenate([jnp.pad(c1, pad), jnp.pad(c2, pad)])
+                half = [jnp.broadcast_to(x, (Bp, L)) for x in
+                        (n_pat[0], n_pat[1], r2_pat[0], r2_pat[1],
+                         one_pat[0], one_pat[1])]
+                n_rows = jnp.concatenate(half[0:2])
+                r2_rows = jnp.concatenate(half[2:4])
+                one_rows = jnp.concatenate(half[4:6])
+                npr_rows = jnp.concatenate([
+                    jnp.broadcast_to(npr_pat[0], (Bp,)),
+                    jnp.broadcast_to(npr_pat[1], (Bp,))])
+                out = pallas_mont_exp_tiles(
+                    a, n_rows, npr_rows, r2_rows, one_rows, tile_digits,
+                    w=w, interpret=interpret)
+                return out[:B], out[Bp : Bp + B]
+
+            fn = jax.jit(_run)
+            self._jit_cache[key] = (fn, Bp, bt)
+        fn, Bp, bt = self._jit_cache[key]
+        tiles_half = Bp // bt
         tile_digits = np.concatenate([
             np.broadcast_to(ed1, (tiles_half, ed1.shape[0])),
             np.broadcast_to(ed2, (tiles_half, ed2.shape[0]))])
-        out = pallas_mont_exp_tiles(a, n_rows, npr_rows, r2_rows,
-                                    one_rows, tile_digits, w=w,
-                                    interpret=interpret)
-        return out[:B], out[Bp : Bp + B]
+        return fn(c1, c2, jnp.asarray(tile_digits))
 
 
 def mont_exp_window(ctx: MontCtx, base_mont: jnp.ndarray,
