@@ -132,6 +132,10 @@ def main():
     ap.add_argument("--table-sizes",
                     help="table2: comma-separated element counts "
                          "(default 16384,65536,262144 = the reference's)")
+    ap.add_argument("--table-schemes",
+                    help="table2: comma-separated scheme filter "
+                         "(flashe,paillier,bfv,ckks; default all) — for "
+                         "re-measuring a subset without a full run")
     ap.add_argument("--processes", type=int, default=2,
                     help="multihost: number of emulated host processes")
     ap.add_argument("--devices-per-process", type=int, default=4)
@@ -607,8 +611,12 @@ def run_table2(args):
 
     t_floor, _ = timeit(_floor_op)
 
+    schemes = (set(args.table_schemes.split(","))
+               if args.table_schemes
+               else {"flashe", "paillier", "bfv", "ckks"})
+
     # ---------------- FLASHE (all sizes) ---------------------------------
-    for n in sizes:
+    for n in sizes if "flashe" in schemes else []:
         q = rng.randint(0, 1 << EB, (NC, n)).astype(np.uint32)
         ciphers = []
         for i in range(NC):
@@ -636,136 +644,145 @@ def run_table2(args):
         rec("flashe", n, ct_bytes, t_enc, t_add, t_dec, ok)
 
     # ---------------- Paillier ------------------------------------------
-    pail = PaillierCipher()
-    pail.generate_key(2048)
-    ctbytes_per = (2 * 2048) // 8  # 4096-bit ciphertext
+    if "paillier" in schemes:
+        pail = PaillierCipher()
+        pail.generate_key(2048)
+        ctbytes_per = (2 * 2048) // 8  # 4096-bit ciphertext
 
-    # batch: pack 2048//20 = 102 lanes per plaintext int
-    for n in sizes:
+        # batch: pack 2048//20 = 102 lanes per plaintext int
+        for n in sizes:
+            q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
+            # host codec twins: the Paillier wire format is python
+            # big-ints, so packing on device costs two tunnel crossings
+            # for zero compute benefit
+            packed = qops.batch_lanes_np(q0, 2048, EB, FACTOR)
+            ints = lanes_to_ints(packed, 2048)
+            t_enc, cts0 = timeit(lambda: pail.encrypt(ints))
+            t_add, agg = timeit(lambda: pail.add_ciphertexts([cts0] * NC))
+
+            def dec_batch():
+                sums = pail.decrypt(agg)
+                lanes2 = ints_to_lanes(sums, 2048)
+                return qops.unbatch_lanes_np(lanes2, n, 2048, EB, FACTOR)
+
+            t_dec, dec = timeit(dec_batch)
+            want = (q0.astype(np.int64) * NC) % (1 << M)
+            ok = np.array_equal(np.asarray(dec).astype(np.int64), want)
+            rec("paillier+batch", n, len(ints) * ctbytes_per, t_enc, t_add,
+                t_dec, ok)
+
+        # no batch: one 20-bit value per ciphertext (16,384 only, like the
+        # reference's table)
+        n = sizes[0]
         q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
-        packed = qops.batch_lanes(jnp.asarray(q0), 2048, EB, FACTOR)
-        ints = lanes_to_ints(np.asarray(packed), 2048)
+        ints = q0.astype(object)
         t_enc, cts0 = timeit(lambda: pail.encrypt(ints))
         t_add, agg = timeit(lambda: pail.add_ciphertexts([cts0] * NC))
-
-        def dec_batch():
-            sums = pail.decrypt(agg)
-            lanes2 = ints_to_lanes(sums, 2048)
-            return qops.unbatch_lanes(jnp.asarray(lanes2), n, 2048, EB,
-                                      FACTOR)
-
-        t_dec, dec = timeit(dec_batch)
-        want = (q0.astype(np.int64) * NC) % (1 << M)
-        ok = np.array_equal(np.asarray(dec).astype(np.int64), want)
-        rec("paillier+batch", n, len(ints) * ctbytes_per, t_enc, t_add,
-            t_dec, ok)
-
-    # no batch: one 20-bit value per ciphertext (16,384 only, like the
-    # reference's table)
-    n = sizes[0]
-    q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
-    ints = q0.astype(object)
-    t_enc, cts0 = timeit(lambda: pail.encrypt(ints))
-    t_add, agg = timeit(lambda: pail.add_ciphertexts([cts0] * NC))
-    t_dec, dec = timeit(lambda: pail.decrypt(agg))
-    ok = np.array_equal(np.asarray([int(v) for v in dec], dtype=np.int64),
-                        q0.astype(np.int64) * NC)
-    rec("paillier", n, n * ctbytes_per, t_enc, t_add, t_dec, ok)
-    for n2 in sizes[1:]:
-        # linear extrapolation from the fully measured first size: the
-        # per-ciphertext work is independent (embarrassingly parallel
-        # over elements), matching the reference's own linear scaling
-        s = n2 / n
-        rec("paillier (extrapolated)", n2, n2 * ctbytes_per, t_enc * s,
-            t_add * s, t_dec * s, ok)
+        t_dec, dec = timeit(lambda: pail.decrypt(agg))
+        ok = np.array_equal(
+            np.asarray([int(v) for v in dec], dtype=np.int64),
+            q0.astype(np.int64) * NC)
+        rec("paillier", n, n * ctbytes_per, t_enc, t_add, t_dec, ok)
+        for n2 in sizes[1:]:
+            # linear extrapolation from the fully measured first size:
+            # the per-ciphertext work is independent (embarrassingly
+            # parallel over elements), matching the reference's own
+            # linear scaling
+            sc = n2 / n
+            rec("paillier (extrapolated)", n2, n2 * ctbytes_per,
+                t_enc * sc, t_add * sc, t_dec * sc, ok)
 
     # ---------------- BFV ------------------------------------------------
-    T_BFV = 1964769281  # = 1 mod 2*8192: the reference's batch prime
-    bfv = BFVCipher(T_BFV, 8192, flagBatching=True, seed=0)
-    bfv.generate_keys()
-    bfv_ct_bytes = 2 * bfv.N * ((bfv.q.bit_length() + 7) // 8)
-    for n in sizes:
-        q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
-        t_enc, cts0 = timeit(lambda: bfv.encrypt(q0))
-        t_add, agg = timeit(lambda: bfv.add_ciphertexts([cts0] * NC))
-        t_dec, dec = timeit(lambda: bfv.decrypt(agg, n))
-        ok = np.array_equal(np.asarray(dec, np.int64),
-                            q0.astype(np.int64) * NC)
-        rec("bfv+batch", n, cts0.shape[0] * bfv_ct_bytes, t_enc, t_add,
-            t_dec, ok)
+    if "bfv" in schemes:
+        T_BFV = 1964769281  # = 1 mod 2*8192: the reference's batch prime
+        bfv = BFVCipher(T_BFV, 8192, flagBatching=True, seed=0)
+        bfv.generate_keys()
+        bfv_ct_bytes = 2 * bfv.N * ((bfv.q.bit_length() + 7) // 8)
+        for n in sizes:
+            q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
+            t_enc, cts0 = timeit(lambda: bfv.encrypt(q0))
+            t_add, agg = timeit(lambda: bfv.add_ciphertexts([cts0] * NC))
+            t_dec, dec = timeit(lambda: bfv.decrypt(agg, n))
+            ok = np.array_equal(np.asarray(dec, np.int64),
+                                q0.astype(np.int64) * NC)
+            rec("bfv+batch", n, cts0.shape[0] * bfv_ct_bytes, t_enc, t_add,
+                t_dec, ok)
 
-    n = sizes[0]
-    bfv_nb = BFVCipher(T_BFV, 2048, flagBatching=False, seed=0)
-    bfv_nb.generate_keys()
-    nb_ct_bytes = 2 * bfv_nb.N * ((bfv_nb.q.bit_length() + 7) // 8)
-    if args.full:
-        q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
-        chunk = 2048
-        t_enc = t_add = t_dec = 0.0
-        ok = True
-        for b in range(0, n, chunk):
-            part = q0[b : b + chunk]
+        n = sizes[0]
+        bfv_nb = BFVCipher(T_BFV, 2048, flagBatching=False, seed=0)
+        bfv_nb.generate_keys()
+        nb_ct_bytes = 2 * bfv_nb.N * ((bfv_nb.q.bit_length() + 7) // 8)
+        if args.full:
+            q0 = rng.randint(0, 1 << EB, n).astype(np.uint32)
+            chunk = 2048
+            t_enc = t_add = t_dec = 0.0
+            ok = True
+            for b in range(0, n, chunk):
+                part = q0[b : b + chunk]
+                te, cts0 = timeit(lambda: bfv_nb.encrypt(part))
+                ta, agg = timeit(lambda: bfv_nb.add_ciphertexts([cts0] * NC))
+                td, dec = timeit(lambda: bfv_nb.decrypt(agg, len(part)))
+                t_enc, t_add, t_dec = t_enc + te, t_add + ta, t_dec + td
+                ok = ok and np.array_equal(np.asarray(dec, np.int64),
+                                           part.astype(np.int64) * NC)
+            rec("bfv", n, n * nb_ct_bytes, t_enc, t_add, t_dec, ok)
+        else:
+            # measured sub-slice x linear extrapolation (see ckks note)
+            sub = 2048
+            part = rng.randint(0, 1 << EB, sub).astype(np.uint32)
             te, cts0 = timeit(lambda: bfv_nb.encrypt(part))
             ta, agg = timeit(lambda: bfv_nb.add_ciphertexts([cts0] * NC))
-            td, dec = timeit(lambda: bfv_nb.decrypt(agg, len(part)))
-            t_enc, t_add, t_dec = t_enc + te, t_add + ta, t_dec + td
-            ok = ok and np.array_equal(np.asarray(dec, np.int64),
-                                       part.astype(np.int64) * NC)
-        rec("bfv", n, n * nb_ct_bytes, t_enc, t_add, t_dec, ok)
-    else:
-        # measured sub-slice x linear extrapolation (see ckks note)
-        sub = 2048
-        part = rng.randint(0, 1 << EB, sub).astype(np.uint32)
-        te, cts0 = timeit(lambda: bfv_nb.encrypt(part))
-        ta, agg = timeit(lambda: bfv_nb.add_ciphertexts([cts0] * NC))
-        td, dec = timeit(lambda: bfv_nb.decrypt(agg, sub))
-        ok = np.array_equal(np.asarray(dec, np.int64),
-                            part.astype(np.int64) * NC)
-        scale = n / sub
-        rec("bfv (extrapolated)", n, n * nb_ct_bytes, te * scale,
-            ta * scale, td * scale, ok)
+            td, dec = timeit(lambda: bfv_nb.decrypt(agg, sub))
+            ok = np.array_equal(np.asarray(dec, np.int64),
+                                part.astype(np.int64) * NC)
+            scale = n / sub
+            rec("bfv (extrapolated)", n, n * nb_ct_bytes, te * scale,
+                ta * scale, td * scale, ok)
+
 
     # ---------------- CKKS -----------------------------------------------
-    ck = CKKSCipher(8192, global_scale=2.0 ** 40, seed=0)
-    ck.generate_keys()
-    ck_ct_bytes = 2 * ck.N * ((ck.q.bit_length() + 7) // 8)
-    for n in sizes:
-        x0 = rng.randn(n).astype(np.float64)
-        t_enc, cts0 = timeit(lambda: ck.encrypt(x0))
-        t_add, agg = timeit(lambda: ck.add_ciphertexts([cts0] * NC))
-        t_dec, dec = timeit(lambda: ck.decrypt(agg, n))
-        err = np.max(np.abs(np.asarray(dec) - x0 * NC))
-        rec("ckks+batch", n, cts0.shape[0] * ck_ct_bytes, t_enc, t_add,
-            t_dec, err < 1e-2)
+    if "ckks" in schemes:
+        ck = CKKSCipher(8192, global_scale=2.0 ** 40, seed=0)
+        ck.generate_keys()
+        ck_ct_bytes = 2 * ck.N * ((ck.q.bit_length() + 7) // 8)
+        for n in sizes:
+            x0 = rng.randn(n).astype(np.float64)
+            t_enc, cts0 = timeit(lambda: ck.encrypt(x0))
+            t_add, agg = timeit(lambda: ck.add_ciphertexts([cts0] * NC))
+            t_dec, dec = timeit(lambda: ck.decrypt(agg, n))
+            err = np.max(np.abs(np.asarray(dec) - x0 * NC))
+            rec("ckks+batch", n, cts0.shape[0] * ck_ct_bytes, t_enc, t_add,
+                t_dec, err < 1e-2)
 
-    n = sizes[0]
-    if args.full:
-        x0 = rng.randn(n).astype(np.float64)
-        chunk = 512
-        t_enc = t_add = t_dec = 0.0
-        worst = 0.0
-        for b in range(0, n, chunk):
-            part = x0[b : b + chunk]
+        n = sizes[0]
+        if args.full:
+            x0 = rng.randn(n).astype(np.float64)
+            chunk = 512
+            t_enc = t_add = t_dec = 0.0
+            worst = 0.0
+            for b in range(0, n, chunk):
+                part = x0[b : b + chunk]
+                te, cts0 = timeit(lambda: ck.encrypt_no_batch(part))
+                ta, agg = timeit(lambda: ck.add_ciphertexts([cts0] * NC))
+                td, dec = timeit(
+                    lambda: ck.decrypt_no_batch(agg, len(part)))
+                t_enc, t_add, t_dec = t_enc + te, t_add + ta, t_dec + td
+                worst = max(worst, float(np.max(np.abs(dec - part * NC))))
+            rec("ckks", n, n * ck_ct_bytes, t_enc, t_add, t_dec, worst < 1e-2)
+        else:
+            # measured sub-slice x documented extrapolation (the work is
+            # embarrassingly parallel over ciphertexts, so cost scales
+            # linearly in n; the cell is labeled 'extrapolated' in the row)
+            sub = 512
+            part = rng.randn(sub).astype(np.float64)
             te, cts0 = timeit(lambda: ck.encrypt_no_batch(part))
             ta, agg = timeit(lambda: ck.add_ciphertexts([cts0] * NC))
-            td, dec = timeit(
-                lambda: ck.decrypt_no_batch(agg, len(part)))
-            t_enc, t_add, t_dec = t_enc + te, t_add + ta, t_dec + td
-            worst = max(worst, float(np.max(np.abs(dec - part * NC))))
-        rec("ckks", n, n * ck_ct_bytes, t_enc, t_add, t_dec, worst < 1e-2)
-    else:
-        # measured sub-slice x documented extrapolation (the work is
-        # embarrassingly parallel over ciphertexts, so cost scales
-        # linearly in n; the cell is labeled 'extrapolated' in the row)
-        sub = 512
-        part = rng.randn(sub).astype(np.float64)
-        te, cts0 = timeit(lambda: ck.encrypt_no_batch(part))
-        ta, agg = timeit(lambda: ck.add_ciphertexts([cts0] * NC))
-        td, dec = timeit(lambda: ck.decrypt_no_batch(agg, sub))
-        ok = float(np.max(np.abs(dec - part * NC))) < 1e-2
-        scale = n / sub
-        rec("ckks (extrapolated)", n, n * ck_ct_bytes, te * scale,
-            ta * scale, td * scale, ok)
+            td, dec = timeit(lambda: ck.decrypt_no_batch(agg, sub))
+            ok = float(np.max(np.abs(dec - part * NC))) < 1e-2
+            scale = n / sub
+            rec("ckks (extrapolated)", n, n * ck_ct_bytes, te * scale,
+                ta * scale, td * scale, ok)
+
 
     print(json.dumps({"metric": "table2", "unit": "see rows",
                       "value": len(rows), "vs_baseline": 1.0,

@@ -119,3 +119,54 @@ def unbatch_lanes(lanes: jnp.ndarray, n: int, int_bits: int, element_bits: int,
         cols.append(v & fmask)
     out = jnp.stack(cols, axis=-1).reshape(nlanes * bs)
     return out[:n]
+
+
+def batch_lanes_np(q: np.ndarray, int_bits: int, element_bits: int,
+                   factor: int) -> np.ndarray:
+    """Host (numpy) twin of batch_lanes — same layout, bit for bit.
+
+    Exists for host-driven codecs (e.g. the Paillier wire path feeding
+    python big-ints): on a network-attached accelerator the device round
+    trip costs more than the packing (tests pin equality with the jnp
+    path)."""
+    ebf, bs = _field_layout(int_bits, element_bits, factor)
+    q = np.asarray(q, np.uint32)
+    n = q.shape[0]
+    nlanes = -(-n // bs)
+    qp = np.zeros((nlanes * bs,), np.uint32)
+    qp[:n] = q
+    qp = qp.reshape(nlanes, bs)
+    nl = nlimbs_for(int_bits)
+    limbs = [np.zeros((nlanes,), np.uint32) for _ in range(nl)]
+    for j in range(bs):
+        off = (bs - 1 - j) * ebf
+        wi, sh = off >> 5, off & 31
+        v = qp[:, j]
+        limbs[wi] = limbs[wi] | (v << np.uint32(sh))
+        if sh + ebf > 32 and wi + 1 < nl:
+            limbs[wi + 1] = limbs[wi + 1] | (v >> np.uint32(32 - sh))
+    if nl == 1:
+        return limbs[0]
+    return np.stack(limbs, axis=-1)
+
+
+def unbatch_lanes_np(lanes: np.ndarray, n: int, int_bits: int,
+                     element_bits: int, factor: int) -> np.ndarray:
+    """Host (numpy) twin of unbatch_lanes (see batch_lanes_np)."""
+    ebf, bs = _field_layout(int_bits, element_bits, factor)
+    nl = nlimbs_for(int_bits)
+    lanes = np.asarray(lanes, np.uint32)
+    if nl == 1:
+        lanes = lanes[:, None]
+    nlanes = lanes.shape[0]
+    fmask = np.uint32((1 << ebf) - 1) if ebf < 32 else np.uint32(0xFFFFFFFF)
+    cols = []
+    for j in range(bs):
+        off = (bs - 1 - j) * ebf
+        wi, sh = off >> 5, off & 31
+        v = lanes[:, wi] >> np.uint32(sh)
+        if sh + ebf > 32 and wi + 1 < nl:
+            v = v | (lanes[:, wi + 1] << np.uint32(32 - sh))
+        cols.append(v & fmask)
+    out = np.stack(cols, axis=-1).reshape(nlanes * bs)
+    return out[:n]

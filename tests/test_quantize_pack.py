@@ -91,3 +91,25 @@ def test_pack_matches_reference_bigint(int_bits):
     np.testing.assert_array_equal(
         lanes_to_ints(back, int_bits), np.array(vals, dtype=object)
     )
+
+
+def test_numpy_codec_twins_match_jnp():
+    """batch_lanes_np / unbatch_lanes_np are bit-identical to the jnp
+    path (they exist so host-driven codecs skip device round trips)."""
+    import jax.numpy as jnp
+
+    from flashe_tpu.ops import quantize as qops
+
+    rng = np.random.RandomState(3)
+    for int_bits, eb, factor, n in [(2048, 16, 4, 1000), (20, 16, 4, 777),
+                                    (64, 16, 4, 333)]:
+        q = rng.randint(0, 1 << (eb + factor), n).astype(np.uint32)
+        a = np.asarray(qops.batch_lanes(jnp.asarray(q), int_bits, eb,
+                                        factor))
+        b = qops.batch_lanes_np(q, int_bits, eb, factor)
+        np.testing.assert_array_equal(a, b)
+        ua = np.asarray(qops.unbatch_lanes(jnp.asarray(a), n, int_bits,
+                                           eb, factor))
+        ub = qops.unbatch_lanes_np(b, n, int_bits, eb, factor)
+        np.testing.assert_array_equal(ua, ub)
+        np.testing.assert_array_equal(ub, q & np.uint32((1 << 20) - 1))
