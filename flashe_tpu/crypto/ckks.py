@@ -63,7 +63,6 @@ class CKKSCipher:
         self._bins = ((r - 1) // 2).astype(np.int64)
         self._twist = np.exp(1j * np.pi * np.arange(self.N) / self.N)
 
-        self._enc_cache2: dict = {}
         self._add_cache: dict = {}
         # vectorized centered-CRT decode constants (see decrypt): c_i =
         # |v_i * inv_i|_{p_i}; coeff == (sum_i c_i*(q/p_i) - A*q) exactly,

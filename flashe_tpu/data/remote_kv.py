@@ -25,7 +25,6 @@ import os
 import socket
 import struct
 import subprocess
-import sys
 import threading
 from typing import Iterator, Optional, Tuple
 
