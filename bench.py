@@ -426,9 +426,11 @@ def run_extra_mode(args):
             modmath.exponent_digits(pub.n, pub.n.bit_length()))
 
         base = modmath.mont_from(ctx, r)
+        # tries=2 + a wider rep window: a single-sample slope on a
+        # ~1.7 s call absorbed one tunnel hiccup as a 16x error
         t = true_call_time(
             lambda i, x: modmath.mont_exp_window(ctx, x, edig), base,
-            r1=1, r2=2, tries=1)
+            r1=1, r2=3, tries=2)
         cts_per_s = batch / t
         elems_per_s = cts_per_s * 100  # b100 batching
         # reference: batched Paillier encrypt 4.69 s @ 262,144 elements
