@@ -76,6 +76,7 @@ class BFVCipher:
         self._add_cache: dict = {}
         self.sk_ntt = None
         self.pk = None
+        self._fanout = None
 
         # vectorized host CRT decrypt constants: c_i = |v_i * inv_i|_{p_i}
         # with inv_i = ((q/p_i) mod p_i)^-1 — round(t*v/q) then splits into
@@ -145,6 +146,16 @@ class BFVCipher:
         self.pk = pk
         return self
 
+    def set_local_devices(self, n_shards=None, devices=None):
+        """Fan this party's ciphertext batch over its local devices (the
+        reference's per-silo per-ciphertext Pool, jzf_bfv.py:116-173):
+        ciphertext rows are independent, so encrypt/decrypt chunks
+        dispatch concurrently.  A 1-device fan-out disables the route."""
+        from flashe_tpu.parallel.fanout import DeviceFanout
+
+        f = DeviceFanout(n_shards, devices)
+        self._fanout = f if f.n_shards > 1 else None
+
     # -- encode / encrypt --------------------------------------------------
 
     def _slot_fn(self, kind: str, shape):
@@ -182,8 +193,7 @@ class BFVCipher:
         tunnel), and eager ring ops pay per-op dispatch."""
         import jax
 
-        B = pt_coeffs.shape[0]
-        fn = self._enc_cache.get(B)
+        fn = self._enc_cache.get("enc")
         if fn is None:
             ctx, N = self.ctx, self.N
 
@@ -193,6 +203,7 @@ class BFVCipher:
                 return jnp.where(xx < 0, xx + p, xx).astype(jnp.uint32)
 
             def run(key, pt_res, pk0, a_ntt, delta):
+                B = pt_res.shape[0]
                 k1, k2, k3 = jax.random.split(key, 3)
                 u = jax.random.randint(k1, (B, N), -1, 2, dtype=jnp.int32)
                 e1 = jnp.clip(jnp.round(
@@ -211,7 +222,7 @@ class BFVCipher:
                 return jnp.stack([ct0, ct1], axis=1)
 
             fn = jax.jit(run)
-            self._enc_cache[B] = fn
+            self._enc_cache["enc"] = fn
         import jax as _jax
 
         self._enc_key, sub = _jax.random.split(self._enc_key)
@@ -219,12 +230,23 @@ class BFVCipher:
             pt_res = pt_coeffs[:, None, :].astype(jnp.uint32) % (
                 self.ctx.p[None].astype(jnp.uint32))
         else:
-            pt_res = jnp.asarray(
-                self._to_res(np.asarray(pt_coeffs, np.int64)))
-        out = fn(sub, pt_res,
-                 jnp.asarray(self.pk[0]), jnp.asarray(self.pk[1]),
-                 jnp.asarray(np.broadcast_to(
-                     self._delta_res, (self.k, self.N)).copy()))
+            pt_res = self._to_res(np.asarray(pt_coeffs, np.int64))
+        pk0 = jnp.asarray(self.pk[0])
+        a_ntt = jnp.asarray(self.pk[1])
+        delta = jnp.asarray(np.broadcast_to(
+            self._delta_res, (self.k, self.N)).copy())
+        B = pt_res.shape[0]
+        if (self._fanout is not None
+                and B >= 2 * self._fanout.n_shards):
+            # per-party multi-device fan-out: independent ciphertext rows
+            # chunk across local devices (parallel/fanout.py); each chunk
+            # draws its own noise subkey
+            subs = _jax.random.split(sub, self._fanout.n_shards)
+            return self._fanout.run(
+                lambda i, pt_chunk: fn(subs[i], pt_chunk, pk0, a_ntt,
+                                       delta),
+                pt_res)
+        out = fn(sub, jnp.asarray(pt_res), pk0, a_ntt, delta)
         # stays on device: ciphertexts feed straight into adds/decrypt
         # (downloading a (B, 2, k, N) tensor per call was the dominant
         # encrypt cost through the remote-TPU tunnel); serialize with
@@ -244,7 +266,7 @@ class BFVCipher:
         replaces a Python object-int loop that dominated decrypt time.
         """
         cts = jnp.asarray(cts)
-        fn = self._add_cache.get(("dec", cts.shape))
+        fn = self._add_cache.get("dec")
         if fn is None:
             ctx = self.ctx
 
@@ -256,8 +278,14 @@ class BFVCipher:
                     cts[:, 0], ctx.mul(cts[:, 1], sk)))
 
             fn = jax.jit(_dec)
-            self._add_cache[("dec", cts.shape)] = fn
-        v = np.asarray(fn(cts, self.sk_ntt))  # (B, k, N) uint32
+            self._add_cache["dec"] = fn
+        if (self._fanout is not None
+                and cts.shape[0] >= 2 * self._fanout.n_shards):
+            sk = self.sk_ntt
+            v = self._fanout.run(
+                lambda i, ct_chunk: fn(ct_chunk, sk), cts)
+        else:
+            v = np.asarray(fn(cts, self.sk_ntt))  # (B, k, N) uint32
         return self._round_crt(v)
 
     def _round_crt(self, v: np.ndarray) -> np.ndarray:
@@ -303,7 +331,7 @@ class BFVCipher:
         # (B, k) instead of (B, k, N) bytes (N=2048: a 2048x cut of the
         # dominant no-batch decrypt cost)
         cts = jnp.asarray(cts)
-        fn = self._add_cache.get(("dec0", cts.shape))
+        fn = self._add_cache.get("dec0")
         if fn is None:
             ctx = self.ctx
 
@@ -313,8 +341,14 @@ class BFVCipher:
                 return v[:, :, 0]
 
             fn = jax.jit(_dec0)
-            self._add_cache[("dec0", cts.shape)] = fn
-        v0 = np.asarray(fn(cts, self.sk_ntt))  # (B, k)
+            self._add_cache["dec0"] = fn
+        if (self._fanout is not None
+                and cts.shape[0] >= 2 * self._fanout.n_shards):
+            sk = self.sk_ntt
+            v0 = self._fanout.run(
+                lambda i, ct_chunk: fn(ct_chunk, sk), cts)
+        else:
+            v0 = np.asarray(fn(cts, self.sk_ntt))  # (B, k)
         m = self._round_crt(v0[:, :, None])[:, 0]
         return m[:count].astype(np.uint32)
 

@@ -51,6 +51,7 @@ class CKKSCipher:
         self._enc_cache: dict = {}
         self.sk_ntt = None
         self.sk_coeffs = None
+        self._fanout = None
 
         # canonical embedding via FFT: evaluation at zeta^(5^i) maps to
         # DFT bin k_i = (5^i - 1)/2 after a zeta^j pre-twist; conjugate
@@ -74,6 +75,16 @@ class CKKSCipher:
         self._crt_qi64 = np.array(
             [(self.q // p) % (1 << 64) for p in self.ctx.primes], np.uint64)
         self._q64 = np.uint64(self.q % (1 << 64))
+
+    def set_local_devices(self, n_shards=None, devices=None):
+        """Fan this party's ciphertext batch over its local devices (the
+        reference parallelizes every scheme per silo; parallel/fanout.py):
+        rows are independent, chunks dispatch concurrently.  A 1-device
+        fan-out disables the route."""
+        from flashe_tpu.parallel.fanout import DeviceFanout
+
+        f = DeviceFanout(n_shards, devices)
+        self._fanout = f if f.n_shards > 1 else None
 
     # -- keys --------------------------------------------------------------
 
@@ -155,10 +166,9 @@ class CKKSCipher:
         precomputed (B, k, N) residues cost k/2 = 3x the bytes — the
         dominant encrypt cost through a remote-TPU tunnel.
         """
-        B = pt.shape[0]
         import jax
 
-        fn = self._enc_cache.get(B)
+        fn = self._enc_cache.get("enc")
         if fn is None:
             ctx, N, k = self.ctx, self.N, self.k
             primes = [int(p) for p in ctx.primes]
@@ -169,6 +179,7 @@ class CKKSCipher:
                 [(1 << 62) % p for p in primes], np.uint32))[:, None]
 
             def run(key, lo, hi, sk_ntt):
+                B = lo.shape[0]
                 # residues of coeff = hi*2^32 + lo - 2^62, per prime
                 pk = ctx.p.astype(jnp.uint32)  # (k, 1)
                 lo_r = lo[:, None, :] % pk[None]
@@ -197,12 +208,21 @@ class CKKSCipher:
                 return jnp.stack([c0, a_ntt], axis=1)
 
             fn = jax.jit(run)
-            self._enc_cache[B] = fn
+            self._enc_cache["enc"] = fn
         self._enc_key, sub = jax.random.split(self._enc_key)
         biased = np.asarray(pt, np.int64) + (1 << 62)
-        lo = jnp.asarray((biased & 0xFFFFFFFF).astype(np.uint32))
-        hi = jnp.asarray((biased >> 32).astype(np.uint32))
-        out = fn(sub, lo, hi, self.sk_ntt)
+        lo_host = (biased & 0xFFFFFFFF).astype(np.uint32)
+        hi_host = (biased >> 32).astype(np.uint32)
+        B = lo_host.shape[0]
+        if (self._fanout is not None
+                and B >= 2 * self._fanout.n_shards):
+            sk = self.sk_ntt
+            subs = jax.random.split(sub, self._fanout.n_shards)
+            return self._fanout.run(
+                lambda i, lo_c, hi_c: fn(subs[i], lo_c, hi_c, sk),
+                lo_host, hi_host)
+        out = fn(sub, jnp.asarray(lo_host), jnp.asarray(hi_host),
+                 self.sk_ntt)
         # stays on device (see bfv.encrypt_polys): adds/decrypt consume it
         # directly; np.asarray at the wire boundary only
         return out
@@ -239,7 +259,7 @@ class CKKSCipher:
         (The final inverse-FFT decode stays on host: this TPU backend
         has no complex FFT lowering.)"""
         cts = jnp.asarray(cts)
-        fn = self._add_cache.get(("deccoef", cts.shape))
+        fn = self._add_cache.get("deccoef")
         if fn is None:
             ctx, k, N = self.ctx, self.k, self.N
             inv = jnp.asarray(
@@ -279,7 +299,12 @@ class CKKSCipher:
                 return coeff
 
             fn = jax.jit(run)
-            self._add_cache[("deccoef", cts.shape)] = fn
+            self._add_cache["deccoef"] = fn
+        if (self._fanout is not None
+                and cts.shape[0] >= 2 * self._fanout.n_shards):
+            sk = self.sk_ntt
+            return self._fanout.run(
+                lambda i, ct_chunk: fn(ct_chunk, sk), cts)
         return fn(cts, self.sk_ntt)
 
     def encrypt_no_batch(self, values: np.ndarray) -> np.ndarray:

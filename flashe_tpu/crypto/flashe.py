@@ -207,11 +207,13 @@ class FlasheCipher:
         return [self.idx]
 
     def set_local_devices(self, n_shards=None, devices=None):
-        """Give this party a multi-device slice: dense double-mask
-        encrypt/decrypt shard the lane vector across its local devices
-        (the reference's per-party Pool fan-out, jzf_flashe.py:436-447,
-        re-imagined as a local `shard_map`).  A 1-device mesh disables
-        the route (nothing to shard)."""
+        """Give this party a multi-device slice (the reference's
+        per-party Pool fan-out, jzf_flashe.py:436-447): dense
+        double-mask AND single-mask encrypt/decrypt shard the lane
+        vector across local devices via shard_map, and the sparse
+        decrypt path fans per-client mask regeneration out by client
+        (parallel/party.sparse_decrypt_fanout).  A 1-device mesh
+        disables the route (nothing to shard)."""
         from flashe_tpu.parallel.party import LocalLaneMesh
 
         m = LocalLaneMesh(n_shards, devices)
@@ -219,7 +221,6 @@ class FlasheCipher:
 
     def _party_ok(self, value) -> bool:
         return (self._party_mesh is not None
-                and self.masking_scheme == "double"
                 and self.masks is None
                 and value.ndim == 1
                 and nlimbs_for(self.int_bits) == 1)
@@ -293,7 +294,11 @@ class FlasheCipher:
             return None
         n = value.shape[0]
         if self._party_ok(value):
-            return self._party_mesh.encrypt(
+            if self.masking_scheme == "double":
+                return self._party_mesh.encrypt(
+                    self._round_keys, value, self.iter_index, self.idx,
+                    self.int_bits)
+            return self._party_mesh.encrypt_single(
                 self._round_keys, value, self.iter_index, self.idx,
                 self.int_bits)
         key = ("enc", self.iter_index)
@@ -336,9 +341,13 @@ class FlasheCipher:
             return self._decrypt_sparse(value, idx_list)
 
         if self._party_ok(value):
-            adds, minuses = merge_idx_runs(idx_list)
-            return self._party_mesh.decrypt_runs(
-                self._round_keys, value, self.iter_index, adds, minuses,
+            if self.masking_scheme == "double":
+                adds, minuses = merge_idx_runs(idx_list)
+                return self._party_mesh.decrypt_runs(
+                    self._round_keys, value, self.iter_index, adds,
+                    minuses, self.int_bits)
+            return self._party_mesh.decrypt_single(
+                self._round_keys, value, self.iter_index, idx_list,
                 self.int_bits)
 
         n = value.shape[0]
@@ -391,6 +400,14 @@ class FlasheCipher:
                 "(batch mode and sparsification are mutually exclusive "
                 "in the reference configs as well)"
             )
+        if self._party_mesh is not None and len(idx_list) > 1:
+            from flashe_tpu.parallel.party import sparse_decrypt_fanout
+
+            return sparse_decrypt_fanout(
+                self._party_mesh.devices, self._round_keys, value,
+                self.iter_index, [self.masks[i] for i in idx_list],
+                list(idx_list), self.int_bits,
+                self.masking_scheme == "double")
         acc_minus = jnp.zeros_like(value)  # sum of clients' add-streams
         acc_add = jnp.zeros_like(value)  # sum of clients' minus-streams
         for i in idx_list:

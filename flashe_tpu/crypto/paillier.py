@@ -227,6 +227,18 @@ class PaillierCipher:
         self._ctx2: modmath.MontCtx | None = None
         self._ndigits_dev = None
         self._chain_cache: dict = {}
+        self._fanout = None
+
+    def set_local_devices(self, n_shards=None, devices=None):
+        """Fan this party's batch encrypt/decrypt over its local devices
+        (the reference's per-silo Pool over contiguous chunks,
+        jzf_paillier.py:190-237): modexp rows are independent, so chunks
+        dispatch concurrently with no collectives.  A 1-device fan-out
+        disables the route."""
+        from flashe_tpu.parallel.fanout import DeviceFanout
+
+        f = DeviceFanout(n_shards, devices)
+        self._fanout = f if f.n_shards > 1 else None
 
     # -- key management (reference jzf_paillier.py:152-185) ----------------
 
@@ -282,11 +294,23 @@ class PaillierCipher:
         vals = [int(v) for v in np.asarray(values, dtype=object).ravel()]
         ctx = self._ctx2
         rs = self._obfuscators(len(vals))
-        r_limbs = jnp.asarray(modmath.to_limbs(rs, ctx.L))
-        s = modmath.mont_exp_window(ctx, modmath.mont_from(ctx, r_limbs),
-                                    self._ndigits_dev)
-        s = modmath.mont_to(ctx, s)
-        s_ints = modmath.from_limbs(np.asarray(s))
+        r_host = modmath.to_limbs(rs, ctx.L)
+        if (self._fanout is not None
+                and len(vals) >= 2 * self._fanout.n_shards):
+
+            def job(i, r_chunk):
+                s = modmath.mont_exp_window(
+                    ctx, modmath.mont_from(ctx, r_chunk),
+                    self._ndigits_dev)
+                return modmath.mont_to(ctx, s)
+
+            s_np = self._fanout.run(job, r_host)
+        else:
+            s = modmath.mont_exp_window(
+                ctx, modmath.mont_from(ctx, jnp.asarray(r_host)),
+                self._ndigits_dev)
+            s_np = np.asarray(modmath.mont_to(ctx, s))
+        s_ints = modmath.from_limbs(s_np)
         nsq = self.public_key.nsquare
         out = [
             ((self.n * m + 1) % nsq) * si % nsq
@@ -299,12 +323,23 @@ class PaillierCipher:
         cts = [int(c) for c in np.asarray(ciphertexts, dtype=object).ravel()]
         sk = self.privacy_key
         L = self._pair_ctx.L
-        cp = jnp.asarray(modmath.to_limbs([c % sk.psquare for c in cts], L))
-        cq = jnp.asarray(modmath.to_limbs([c % sk.qsquare for c in cts], L))
-        xp, xq = self._pair_ctx.exp_pair(cp, cq, self._ep_dev,
-                                         self._eq_dev)
-        xp_ints = modmath.from_limbs(np.asarray(xp))
-        xq_ints = modmath.from_limbs(np.asarray(xq))
+        cp_host = modmath.to_limbs([c % sk.psquare for c in cts], L)
+        cq_host = modmath.to_limbs([c % sk.qsquare for c in cts], L)
+        if (self._fanout is not None
+                and len(cts) >= 2 * self._fanout.n_shards):
+
+            def job(i, cp_chunk, cq_chunk):
+                return self._pair_ctx.exp_pair(cp_chunk, cq_chunk,
+                                               self._ep_dev, self._eq_dev)
+
+            xp_np, xq_np = self._fanout.run(job, cp_host, cq_host)
+        else:
+            xp, xq = self._pair_ctx.exp_pair(
+                jnp.asarray(cp_host), jnp.asarray(cq_host),
+                self._ep_dev, self._eq_dev)
+            xp_np, xq_np = np.asarray(xp), np.asarray(xq)
+        xp_ints = modmath.from_limbs(xp_np)
+        xq_ints = modmath.from_limbs(xq_np)
         out = []
         for xpi, xqi in zip(xp_ints, xq_ints):
             mp = sk._l(xpi, sk.p) * sk.hp % sk.p

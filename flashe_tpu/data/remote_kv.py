@@ -12,11 +12,24 @@ SURVEY.md section 2.3).  This module is that split here:
   in-process `data.kvstore.KVStore` (put/get/delete/count/items/flush/
   close + `.nparts`), so `PersistentDTable` works unchanged against a
   remote node: `data.table.init(job_id, storage_addr="host:port")`.
+- `ShardedRemoteKV` spans several nodes with a fixed partition->node
+  map (partition p lives on node p % n_nodes) — the meta-service role
+  of eggroll's storage tier.  `storage_addr` accepts a comma-separated
+  address list.
+- Both clients carry the EXEC op (`exec_job`): ship a pickled
+  map/reduce job to the node, where an egg processor (data/egg.py)
+  runs it near the data — eggroll's roll/egg compute plane.
 
 Partition counts are pinned server-side in the same META file the
 in-process store writes, so a directory can be served locally or
 remotely interchangeably (and reopening with a different requested
 partition count keeps the on-disk value — no silent key loss).
+
+Failure model: a dropped connection is retried with backoff
+(reconnects are transparent — every request re-carries the table
+identity, so no re-handshake is needed); a node that stays down raises
+the typed `StorageNodeUnavailable` from any pending call, including
+mid-iteration.
 """
 
 from __future__ import annotations
@@ -25,13 +38,24 @@ import os
 import socket
 import struct
 import subprocess
+import sys
 import threading
-from typing import Iterator, Optional, Tuple
+import time
+from collections import Counter
+from typing import Iterator, List, Optional, Tuple
 
-__all__ = ["RemoteKVStore", "StorageNode"]
+__all__ = ["RemoteKVStore", "ShardedRemoteKV", "StorageNode",
+           "StorageNodeUnavailable"]
 
-_OPEN, _PUT, _GET, _DEL, _COUNT, _ITER, _FLUSH, _SHUTDOWN = range(8)
+_OPEN, _PUT, _GET, _DEL, _COUNT, _ITER, _FLUSH, _SHUTDOWN, _EXEC = range(9)
 _TERM = 0xFFFFFFFF
+
+# reconnect backoff schedule (seconds) after a dropped connection
+_RETRY_BACKOFF = (0.05, 0.2, 0.8)
+
+
+class StorageNodeUnavailable(ConnectionError):
+    """The storage node stayed unreachable through the retry schedule."""
 
 
 def _read_full(sock: socket.socket, n: int) -> bytes:
@@ -44,37 +68,98 @@ def _read_full(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
+def _egg_env() -> dict:
+    """Environment for spawning egg processors: the node (C++ or python)
+    launches `$FLASHE_PYTHON -m flashe_tpu.data.egg`, which must find
+    this very package on PYTHONPATH even when the node's cwd is
+    elsewhere."""
+    env = dict(os.environ)
+    pkg_parent = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    parts = [pkg_parent]
+    if env.get("PYTHONPATH"):
+        parts.append(env["PYTHONPATH"])
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    env.setdefault("FLASHE_PYTHON", sys.executable)
+    return env
+
+
 class RemoteKVStore:
-    """KVStore-compatible client for one (namespace, name) table."""
+    """KVStore-compatible client for one (namespace, name) table on one
+    node.  Reconnects with backoff on dropped connections; raises
+    StorageNodeUnavailable once the schedule is exhausted.  `op_counts`
+    tallies wire ops issued by *this client* (tests use it to prove
+    server-side compute never streams records back here)."""
 
     def __init__(self, addr: str, namespace: str, name: str,
                  nparts: int = 1):
         host, port = addr.rsplit(":", 1)
-        self._sock = socket.create_connection((host, int(port)))
-        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.addr = addr
+        self._host, self._port = host, int(port)
+        self._sock: Optional[socket.socket] = None
         self._lock = threading.Lock()
         self._ns = namespace.encode()
         self._name = name.encode()
+        self.op_counts: Counter = Counter()
         status, payload = self._call(_OPEN, part=nparts)
         if status != 0:
             raise OSError(f"storage node failed to open {namespace}/{name}")
         self.nparts = struct.unpack("<I", payload)[0]
 
+    # -- wire --------------------------------------------------------------
+
+    def _connect(self):
+        self._sock = socket.create_connection(
+            (self._host, self._port), timeout=30)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def _drop_sock(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+
     def _call(self, op: int, part: int = 0, key: bytes = b"",
               value: bytes = b"") -> Tuple[int, bytes]:
+        """One request/response exchange, retried across reconnects.
+
+        Safe to retry: every op here is idempotent under replay (PUT
+        rewrites the same record, GET/COUNT/ITER/FLUSH are reads or
+        level-triggered, EXEC's shuffle output rewrites the same keys;
+        DEL may report already-missing on replay, which callers treat
+        as success)."""
         hdr = struct.pack("<BIIIII", op, len(self._ns), len(self._name),
                           part, len(key), len(value))
+        msg = hdr + self._ns + self._name + key + value
+        self.op_counts[op] += 1
         with self._lock:
-            self._sock.sendall(hdr + self._ns + self._name + key + value)
-            resp = _read_full(self._sock, 9)
-            status = resp[0]
-            n = struct.unpack("<Q", resp[1:])[0]
-            payload = _read_full(self._sock, n) if n else b""
-        return status, payload
+            last_err: Optional[Exception] = None
+            for attempt in range(len(_RETRY_BACKOFF) + 1):
+                if attempt:
+                    time.sleep(_RETRY_BACKOFF[attempt - 1])
+                try:
+                    if self._sock is None:
+                        self._connect()
+                    self._sock.sendall(msg)
+                    resp = _read_full(self._sock, 9)
+                    status = resp[0]
+                    n = struct.unpack("<Q", resp[1:])[0]
+                    payload = _read_full(self._sock, n) if n else b""
+                    return status, payload
+                except (ConnectionError, OSError, socket.timeout) as e:
+                    last_err = e
+                    self._drop_sock()
+            raise StorageNodeUnavailable(
+                f"storage node {self.addr} unreachable after "
+                f"{len(_RETRY_BACKOFF) + 1} attempts: {last_err}")
 
     @property
     def native(self) -> bool:  # parity with KVStore's introspection
         return True
+
+    # -- KV surface --------------------------------------------------------
 
     def put(self, part: int, key: bytes, value: bytes):
         status, _ = self._call(_PUT, part, key, value)
@@ -114,18 +199,121 @@ class RemoteKVStore:
         self._call(_FLUSH)
 
     def close(self):
-        try:
-            self._sock.close()
-        except OSError:
-            pass
+        self._drop_sock()
+
+    # -- compute plane -----------------------------------------------------
+
+    supports_exec = True
+
+    @property
+    def addrs(self) -> List[str]:
+        return [self.addr]
+
+    def exec_groups(self, nparts: int) -> List[Tuple["RemoteKVStore",
+                                                     List[int]]]:
+        """(connection, partition-list) groups for an EXEC fan-out —
+        a single node owns every partition."""
+        return [(self, list(range(nparts)))]
+
+    def exec_call(self, spec_bytes: bytes) -> dict:
+        """Ship one pickled job to this node's egg processor and return
+        its result dict (data/egg.py)."""
+        import pickle
+
+        status, payload = self._call(_EXEC, value=spec_bytes)
+        if status != 0:
+            raise OSError(
+                f"storage node {self.addr} EXEC failed: "
+                f"{payload[:500].decode('utf-8', 'replace')}")
+        return pickle.loads(payload)
+
+
+class ShardedRemoteKV:
+    """KVStore-compatible client spanning several storage nodes.
+
+    The partition->node map is fixed: partition p lives on node
+    p % n_nodes (every node pins the table's full partition count in
+    its own META, and only ever receives ops for its residue class).
+    This is the meta-service role of eggroll's storage tier reduced to
+    a static residue map — sessions just list the same addresses in
+    the same order.
+    """
+
+    def __init__(self, addrs: List[str], namespace: str, name: str,
+                 nparts: int = 1):
+        if not addrs:
+            raise ValueError("ShardedRemoteKV needs at least one address")
+        self._conns = [RemoteKVStore(a, namespace, name, nparts)
+                       for a in addrs]
+        pinned = {c.nparts for c in self._conns}
+        if len(pinned) != 1:
+            raise OSError(
+                f"storage nodes disagree on partition count for "
+                f"{namespace}/{name}: {sorted(pinned)}")
+        self.nparts = self._conns[0].nparts
+
+    @property
+    def native(self) -> bool:
+        return True
+
+    @property
+    def op_counts(self) -> Counter:
+        total: Counter = Counter()
+        for c in self._conns:
+            total.update(c.op_counts)
+        return total
+
+    def _node(self, part: int) -> RemoteKVStore:
+        return self._conns[part % len(self._conns)]
+
+    def put(self, part: int, key: bytes, value: bytes):
+        self._node(part).put(part, key, value)
+
+    def get(self, part: int, key: bytes) -> Optional[bytes]:
+        return self._node(part).get(part, key)
+
+    def delete(self, part: int, key: bytes) -> bool:
+        return self._node(part).delete(part, key)
+
+    def count(self, part: int) -> int:
+        return self._node(part).count(part)
+
+    def items(self, part: int) -> Iterator[Tuple[bytes, bytes]]:
+        return self._node(part).items(part)
+
+    def flush(self):
+        for c in self._conns:
+            c.flush()
+
+    def close(self):
+        for c in self._conns:
+            c.close()
+
+    # -- compute plane -----------------------------------------------------
+
+    supports_exec = True
+
+    @property
+    def addrs(self) -> List[str]:
+        return [c.addr for c in self._conns]
+
+    def exec_groups(self, nparts: int) -> List[Tuple[RemoteKVStore,
+                                                     List[int]]]:
+        groups: List[Tuple[RemoteKVStore, List[int]]] = []
+        for i, conn in enumerate(self._conns):
+            parts = [p for p in range(nparts) if p % len(self._conns) == i]
+            if parts:
+                groups.append((conn, parts))
+        return groups
 
 
 class StorageNode:
     """Launches a storage node over `root_dir` and reports its address.
 
     native=True compiles/spawns native/kvserver.cpp; native=False (or no
-    compiler) runs an in-process python server speaking the same
-    protocol over the same on-disk format.
+    compiler, or a failed native launch — e.g. a stale foreign-arch
+    binary) runs an in-process python server speaking the same protocol
+    over the same on-disk format.
     """
 
     def __init__(self, root_dir: str, port: int = 0, native: bool = True):
@@ -133,21 +321,37 @@ class StorageNode:
         os.makedirs(root_dir, exist_ok=True)
         self._proc = None
         self._srv = None
-        if native:
-            from flashe_tpu.native import kvserver_binary
-
-            binary = kvserver_binary()
-            if binary is not None:
-                self._proc = subprocess.Popen(
-                    [binary, root_dir, str(port)],
-                    stdout=subprocess.PIPE, text=True)
-                line = self._proc.stdout.readline()
-                if not line.startswith("KVSERVER PORT "):
-                    raise OSError(f"kvserver failed to start: {line!r}")
-                self.port = int(line.split()[-1])
-                self.address = f"127.0.0.1:{self.port}"
-                return
+        if native and self._start_native(port):
+            return
         self._start_python(port)
+
+    def _start_native(self, port: int) -> bool:
+        from flashe_tpu.native import kvserver_binary
+
+        binary = kvserver_binary()
+        if binary is None:
+            return False
+        try:
+            proc = subprocess.Popen(
+                [binary, self.root_dir, str(port)],
+                stdout=subprocess.PIPE, text=True, env=_egg_env())
+            line = proc.stdout.readline()
+            if not line.startswith("KVSERVER PORT "):
+                raise OSError(f"kvserver failed to start: {line!r}")
+            self._proc = proc
+            self.port = int(line.split()[-1])
+            self.address = f"127.0.0.1:{self.port}"
+            return True
+        except Exception:
+            # e.g. exec-format error on a foreign-arch binary, or a bad
+            # handshake — fall back to the python server (documented
+            # contract of this launcher)
+            if self._proc is None and "proc" in locals():
+                try:
+                    proc.kill()
+                except Exception:
+                    pass
+            return False
 
     @property
     def native(self) -> bool:
@@ -168,19 +372,46 @@ class StorageNode:
         self._stores = {}
         self._stores_lock = threading.Lock()
         self._shutdown = threading.Event()
+        self._conns = set()
+        self._conns_lock = threading.Lock()
+        egg_env = _egg_env()
 
         def get_store(ns: str, name: str, nparts: int):
+            """-> (store, per-store lock).  The C++ server serializes
+            each store's ops under st->mu; the per-store Lock mirrors
+            that here — the ctypes-backed native KVStore releases the
+            GIL during C calls, so two connection threads writing the
+            same table would otherwise interleave log appends."""
             with self._stores_lock:
                 key = (ns, name)
-                st = self._stores.get(key)
-                if st is None:
+                entry = self._stores.get(key)
+                if entry is None:
                     d = os.path.join(self.root_dir, ns, name)
                     os.makedirs(d, exist_ok=True)
-                    st = open_store(d, max(nparts, 1))
-                    self._stores[key] = st
-                return st
+                    entry = (open_store(d, max(nparts, 1)),
+                             threading.Lock())
+                    self._stores[key] = entry
+                return entry
+
+        def run_egg(spec_bytes: bytes):
+            """Spawn an egg processor (data/egg.py) against this node,
+            exactly as the C++ server's EXEC op does."""
+            proc = subprocess.run(
+                [sys.executable, "-m", "flashe_tpu.data.egg",
+                 self.address],
+                input=struct.pack("<Q", len(spec_bytes)) + spec_bytes,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                env=egg_env)
+            out = proc.stdout
+            if proc.returncode != 0 or len(out) < 8:
+                err = proc.stderr.decode("utf-8", "replace")[-500:]
+                return 2, f"egg processor failed: {err}".encode()
+            (n,) = struct.unpack("<Q", out[:8])
+            return 0, out[8 : 8 + n]
 
         def handle(conn: socket.socket):
+            with self._conns_lock:
+                self._conns.add(conn)
             try:
                 while True:
                     hdr = _read_full(conn, 21)
@@ -198,8 +429,9 @@ class StorageNode:
 
                     if op == _SHUTDOWN:
                         with self._stores_lock:
-                            for st in self._stores.values():
-                                st.flush()
+                            for st, st_lock in self._stores.values():
+                                with st_lock:
+                                    st.flush()
                         resp(0)
                         self._shutdown.set()
                         # unblock accept
@@ -209,34 +441,44 @@ class StorageNode:
                         except OSError:
                             pass
                         return
-                    st = get_store(ns, name, part)
-                    if op == _OPEN:
-                        resp(0, struct.pack("<I", st.nparts))
-                    elif op == _PUT:
-                        st.put(part, key, val)
-                        resp(0)
-                    elif op == _GET:
-                        out = st.get(part, key)
-                        resp(1) if out is None else resp(0, out)
-                    elif op == _DEL:
-                        resp(0 if st.delete(part, key) else 1)
-                    elif op == _COUNT:
-                        resp(0, struct.pack("<Q", st.count(part)))
-                    elif op == _ITER:
-                        chunks = []
-                        for k, v in st.items(part):
-                            chunks.append(struct.pack("<II", len(k),
-                                                      len(v)) + k + v)
-                        chunks.append(struct.pack("<I", _TERM))
-                        resp(0, b"".join(chunks))
-                    elif op == _FLUSH:
-                        st.flush()
-                        resp(0)
-                    else:
-                        resp(3)
+                    if op == _EXEC:
+                        # the egg re-enters this server over loopback for
+                        # its reads/shuffle writes, so no store lock may
+                        # be held across the job
+                        status, payload = run_egg(val)
+                        resp(status, payload)
+                        continue
+                    st, st_lock = get_store(ns, name, part)
+                    with st_lock:
+                        if op == _OPEN:
+                            resp(0, struct.pack("<I", st.nparts))
+                        elif op == _PUT:
+                            st.put(part, key, val)
+                            resp(0)
+                        elif op == _GET:
+                            out = st.get(part, key)
+                            resp(1) if out is None else resp(0, out)
+                        elif op == _DEL:
+                            resp(0 if st.delete(part, key) else 1)
+                        elif op == _COUNT:
+                            resp(0, struct.pack("<Q", st.count(part)))
+                        elif op == _ITER:
+                            chunks = []
+                            for k, v in st.items(part):
+                                chunks.append(struct.pack("<II", len(k),
+                                                          len(v)) + k + v)
+                            chunks.append(struct.pack("<I", _TERM))
+                            resp(0, b"".join(chunks))
+                        elif op == _FLUSH:
+                            st.flush()
+                            resp(0)
+                        else:
+                            resp(3)
             except (ConnectionError, OSError):
                 pass
             finally:
+                with self._conns_lock:
+                    self._conns.discard(conn)
                 conn.close()
 
         def accept_loop():
@@ -260,13 +502,16 @@ class StorageNode:
         try:
             c = RemoteKVStore.__new__(RemoteKVStore)
             host, port = self.address.rsplit(":", 1)
-            c._sock = socket.create_connection((host, int(port)), timeout=5)
+            c.addr = self.address
+            c._host, c._port = host, int(port)
+            c._sock = None
             c._lock = threading.Lock()
             c._ns = b""
             c._name = b""
+            c.op_counts = Counter()
             c._call(_SHUTDOWN)
             c.close()
-        except OSError:
+        except (OSError, StorageNodeUnavailable):
             pass
         self.close()
 
@@ -284,8 +529,17 @@ class StorageNode:
                 self._srv.close()
             except OSError:
                 pass
+            # sever live connections too — a real (native) node's death
+            # drops them, and clients must see the same failure mode
+            with self._conns_lock:
+                for conn in list(self._conns):
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+                self._conns.clear()
             with self._stores_lock:
-                for st in self._stores.values():
+                for st, _ in self._stores.values():
                     st.close()
                 self._stores.clear()
             self._srv = None

@@ -197,12 +197,20 @@ class PersistentDTable(DTable):
     (native/kvstore.cpp via flashe_tpu/data/kvstore.py) — the analogue
     of an eggroll LMDB-backed table in FATE standalone work mode.
 
-    KV ops (put/get/delete/count/collect) hit the store directly;
-    functional ops (map/reduce/join/...) inherit from DTable and
-    materialize into in-memory derived tables, exactly as eggroll's
-    compute ops produce new tables.  Keys/values pickle on the way in;
-    partition routing hashes the pickled key with crc32 so the layout is
-    stable across processes (python's `hash` is per-process salted).
+    KV ops (put/get/delete/count/collect) hit the store directly.
+    Functional ops run *server-side* when the store is a remote node
+    (data/remote_kv.py): map/mapValues/mapPartitions/filter/flatMap/
+    reduce ship the function to the node's egg processor (data/egg.py),
+    which reads the source partitions near the data and shuffles map
+    output straight to the owning nodes — the reference's eggroll
+    roll/egg compute plane (arch/api/table/table.py:25-179 backed by
+    remote execution in cluster mode).  Against an in-process store
+    (or for the remaining ops: join/union/subtractByKey/glom/sample)
+    they inherit DTable's client-side path and materialize into
+    in-memory derived tables.  Keys/values pickle on the way in;
+    partition routing hashes the pickled key with crc32 so the layout
+    is stable across processes (python's `hash` is per-process salted;
+    flashe_tpu/data/codec.py is the shared rule).
     """
 
     def __init__(self, session: "Session", name: str, namespace: str,
@@ -215,20 +223,20 @@ class PersistentDTable(DTable):
 
     @staticmethod
     def _enc(obj) -> bytes:
-        import pickle
+        from flashe_tpu.data.codec import enc
 
-        return pickle.dumps(obj, protocol=4)
+        return enc(obj)
 
     @staticmethod
     def _dec(b: bytes):
-        import pickle
+        from flashe_tpu.data.codec import dec
 
-        return pickle.loads(b)
+        return dec(b)
 
     def _part_of(self, kb: bytes) -> int:
-        import zlib
+        from flashe_tpu.data.codec import part_of
 
-        return zlib.crc32(kb) % self._n
+        return part_of(kb, self._n)
 
     def put(self, k, v):
         kb = self._enc(k)
@@ -283,6 +291,125 @@ class PersistentDTable(DTable):
     def flush(self):
         self._kv.flush()
 
+    # -- server-side compute (eggroll roll/egg analogue) -------------------
+
+    def _remote(self) -> bool:
+        return getattr(self._kv, "supports_exec", False)
+
+    def _exec_fanout(self, kind: str, fn, extra: dict) -> List[dict]:
+        """One EXEC per storage node (each over that node's partition
+        slice), in parallel; returns the per-node result dicts."""
+        import cloudpickle
+
+        groups = self._kv.exec_groups(self._n)
+        results: List[Optional[dict]] = [None] * len(groups)
+        errors: List[BaseException] = []
+
+        def run(i, conn, parts):
+            spec = dict(src_ns=self._namespace, src_name=self._name,
+                        src_nparts=self._n, parts=parts, kind=kind,
+                        fn=fn, **extra)
+            try:
+                results[i] = conn.exec_call(cloudpickle.dumps(spec))
+            except BaseException as e:  # surfaced below on the caller
+                errors.append(e)
+
+        if len(groups) == 1:
+            run(0, *groups[0])
+        else:
+            import threading
+
+            threads = [threading.Thread(target=run, args=(i, c, p))
+                       for i, (c, p) in enumerate(groups)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        if errors:
+            raise errors[0]
+        for r in results:
+            if not r["ok"]:
+                raise RuntimeError(
+                    f"server-side {kind} failed in egg processor:\n"
+                    f"{r.get('error', '')}")
+        return results
+
+    def _remote_map(self, fn, partitions: Optional[int] = None) -> "DTable":
+        """Run a map-like job server-side into a fresh remote table.
+        fn(part_idx, items_iter) yields output (k, v) records."""
+        out = self._session._remote_anon_table(partitions or self._n)
+        self._exec_fanout(
+            "map_partitions", fn,
+            dict(out_ns=out._namespace, out_name=out._name,
+                 out_nparts=out._n, out_nodes=self._kv.addrs))
+        return out
+
+    def map(self, func):
+        if not self._remote():
+            return super().map(func)
+
+        def fn(pi, it, func=func):
+            for k, v in it:
+                yield func(k, v)
+
+        return self._remote_map(fn)
+
+    def mapValues(self, func):
+        if not self._remote():
+            return super().mapValues(func)
+
+        def fn(pi, it, func=func):
+            for k, v in it:
+                yield k, func(v)
+
+        return self._remote_map(fn)
+
+    def mapPartitions(self, func):
+        if not self._remote():
+            return super().mapPartitions(func)
+
+        def fn(pi, it, func=func):
+            yield pi, func(it)
+
+        return self._remote_map(fn)
+
+    def filter(self, func):
+        if not self._remote():
+            return super().filter(func)
+
+        def fn(pi, it, func=func):
+            for k, v in it:
+                if func(k, v):
+                    yield k, v
+
+        return self._remote_map(fn)
+
+    def flatMap(self, func):
+        if not self._remote():
+            return super().flatMap(func)
+
+        def fn(pi, it, func=func):
+            for k, v in it:
+                for nk, nv in func(k, v):
+                    yield nk, nv
+
+        return self._remote_map(fn)
+
+    def reduce(self, func):
+        if not self._remote():
+            return super().reduce(func)
+        results = self._exec_fanout("reduce", func, {})
+        acc = None
+        seeded = False
+        for r in results:
+            if not r.get("seeded"):
+                continue
+            if not seeded:
+                acc, seeded = r["value"], True
+            else:
+                acc = func(acc, r["value"])
+        return acc
+
 
 class Session:
     """Process-local analogue of `arch.api.session` (session.py:32-87):
@@ -293,10 +420,19 @@ class Session:
 
     def __init__(self, job_id: str = "local",
                  storage_dir: Optional[str] = None,
-                 storage_addr: Optional[str] = None):
+                 storage_addr=None):
         self.job_id = job_id
         self.storage_dir = storage_dir
-        self.storage_addr = storage_addr
+        # storage_addr: "host:port", "host:port,host:port" or a list —
+        # several addresses make a multi-node session with partition p
+        # pinned to node p % n_nodes (remote_kv.ShardedRemoteKV)
+        if isinstance(storage_addr, str):
+            self.storage_addrs = [a.strip() for a in storage_addr.split(",")
+                                  if a.strip()]
+        else:
+            self.storage_addrs = list(storage_addr or [])
+        self.storage_addr = (",".join(self.storage_addrs)
+                             if self.storage_addrs else None)
         self._registry: Dict[Tuple[str, str], DTable] = {}
         self._stores: Dict[Tuple[str, str], Any] = {}
         self._anon = 0
@@ -305,16 +441,22 @@ class Session:
               partition: int = 1) -> DTable:
         key = (namespace, name)
         if key not in self._registry:
-            if self.storage_addr is not None:
-                # remote storage node (data/remote_kv.py — the eggroll
-                # storage-service split: tables live in another process
-                # or on another machine)
-                from flashe_tpu.data.remote_kv import RemoteKVStore
+            if self.storage_addrs:
+                # remote storage node(s) (data/remote_kv.py — the
+                # eggroll storage-service split: tables live in another
+                # process or on other machines; >1 address shards
+                # partitions across nodes)
+                from flashe_tpu.data.remote_kv import (RemoteKVStore,
+                                                       ShardedRemoteKV)
 
                 store = self._stores.get(key)
                 if store is None:
-                    store = RemoteKVStore(self.storage_addr, namespace,
-                                          name, partition)
+                    if len(self.storage_addrs) == 1:
+                        store = RemoteKVStore(self.storage_addrs[0],
+                                              namespace, name, partition)
+                    else:
+                        store = ShardedRemoteKV(self.storage_addrs,
+                                                namespace, name, partition)
                     self._stores[key] = store
                 self._registry[key] = PersistentDTable(
                     self, name, namespace, store.nparts, store)
@@ -351,6 +493,13 @@ class Session:
     def _anon_table(self, partition: int) -> DTable:
         self._anon += 1
         return DTable(self, f"_anon_{self._anon}", self.job_id, partition)
+
+    def _remote_anon_table(self, partition: int) -> DTable:
+        """Anonymous *remote* table for server-side op output: derived
+        tables of an egg-computed map live on the storage nodes, like
+        every eggroll compute result."""
+        self._anon += 1
+        return self.table(f"_anon_{self._anon}", self.job_id, partition)
 
     def _drop(self, namespace: str, name: str):
         self._registry.pop((namespace, name), None)

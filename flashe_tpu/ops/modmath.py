@@ -25,6 +25,7 @@ decryption).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
@@ -177,12 +178,38 @@ def _cond_sub_n(t: jnp.ndarray, n_limbs: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(need[..., None], sub, t)
 
 
+_PALLAS_MODE = "auto"  # "auto" | "on" | "off"
+
+
+@contextlib.contextmanager
+def pallas_mode(mode: str):
+    """Scoped override for the mont_mul kernel choice.
+
+    `_use_pallas` cannot see the committed device inside a jit trace and
+    falls back to jax.default_backend() — wrong when code is explicitly
+    jitted for CPU on a TPU host.  Callers tracing for a specific
+    backend wrap the trace in `with pallas_mode("off")` (or "on");
+    "auto" restores the device/backend heuristic.  The FLASHE_NO_PALLAS
+    env var remains as a process-global off switch.
+    """
+    global _PALLAS_MODE
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"pallas_mode must be auto/on/off, got {mode!r}")
+    prev, _PALLAS_MODE = _PALLAS_MODE, mode
+    try:
+        yield
+    finally:
+        _PALLAS_MODE = prev
+
+
 def _use_pallas(a) -> bool:
     """Route mont_mul through the VMEM-resident Pallas kernel on TPU.
 
     The XLA CIOS loop round-trips the accumulator through HBM every
     step (HBM-bound); the kernel keeps it in VMEM (compute-bound,
     ~20x; flashe_tpu/ops/pallas_modmath.py)."""
+    if _PALLAS_MODE != "auto":
+        return _PALLAS_MODE == "on"
     if os.environ.get("FLASHE_NO_PALLAS"):
         return False
     try:

@@ -15,7 +15,15 @@
 //      1 PUT, 2 GET (status 1 = missing), 3 DEL (status 1 = missing),
 //      4 COUNT (payload u64), 5 ITER (payload stream of
 //      u32 klen|u32 vlen|key|val records, terminated by klen=0xFFFFFFFF),
-//      6 FLUSH, 7 SHUTDOWN.
+//      6 FLUSH, 7 SHUTDOWN,
+//      8 EXEC (value = pickled job spec; the server spawns an egg
+//        processor — `$FLASHE_PYTHON -m flashe_tpu.data.egg <this
+//        node's addr>` — pipes the spec to its stdin and relays the
+//        pickled result from its stdout; payload = result pickle).
+//        This is eggroll's roll/egg compute plane: the processor runs
+//        next to the data, reading source partitions over loopback and
+//        shuffling map output straight to the owning nodes, so records
+//        never stream to the submitting client.
 //
 // Partition counts are pinned in a META file at store creation, the same
 // "nparts=N" format the in-process store uses (data/kvstore.py), so a
@@ -24,9 +32,13 @@
 #include <arpa/inet.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
+#include <signal.h>
 #include <sys/socket.h>
+#include <sys/wait.h>
+#include <unistd.h>
 
 #include <cstdlib>
+#include <cstring>
 #include <map>
 #include <mutex>
 #include <thread>
@@ -44,6 +56,7 @@ struct OpenStore {
 std::mutex g_mu;
 std::map<std::string, OpenStore*> g_stores;
 std::string g_root;
+int g_port = 0;  // bound port; egg processors connect back over loopback
 volatile bool g_stop = false;
 
 bool read_full(int fd, void* buf, size_t n) {
@@ -115,6 +128,92 @@ OpenStore* get_store(const std::string& ns, const std::string& name,
   return st;
 }
 
+bool fd_write_full(int fd, const void* buf, size_t n) {
+  const char* p = static_cast<const char*>(buf);
+  while (n) {
+    ssize_t r = write(fd, p, n);
+    if (r <= 0) return false;
+    p += r;
+    n -= (size_t)r;
+  }
+  return true;
+}
+
+bool fd_read_full(int fd, void* buf, size_t n) {
+  char* p = static_cast<char*>(buf);
+  while (n) {
+    ssize_t r = read(fd, p, n);
+    if (r <= 0) return false;
+    p += r;
+    n -= (size_t)r;
+  }
+  return true;
+}
+
+// EXEC: spawn an egg processor near the data.  No store mutex may be
+// held here — the egg re-enters this server over loopback for its
+// partition reads and shuffle writes.
+void handle_exec(int fd, const std::string& spec) {
+  int in_pipe[2], out_pipe[2];
+  if (pipe(in_pipe) != 0) {
+    send_resp(fd, 2, "pipe failed", 11);
+    return;
+  }
+  if (pipe(out_pipe) != 0) {
+    close(in_pipe[0]);
+    close(in_pipe[1]);
+    send_resp(fd, 2, "pipe failed", 11);
+    return;
+  }
+  pid_t pid = fork();
+  if (pid < 0) {
+    close(in_pipe[0]);
+    close(in_pipe[1]);
+    close(out_pipe[0]);
+    close(out_pipe[1]);
+    send_resp(fd, 2, "fork failed", 11);
+    return;
+  }
+  if (pid == 0) {  // egg child: spec on stdin, result pickle on stdout
+    dup2(in_pipe[0], 0);
+    dup2(out_pipe[1], 1);
+    close(in_pipe[0]);
+    close(in_pipe[1]);
+    close(out_pipe[0]);
+    close(out_pipe[1]);
+    const char* py = getenv("FLASHE_PYTHON");
+    if (!py || !*py) py = "python3";
+    char addr[64];
+    std::snprintf(addr, sizeof addr, "127.0.0.1:%d", g_port);
+    execlp(py, py, "-m", "flashe_tpu.data.egg", addr, (char*)nullptr);
+    _exit(127);
+  }
+  close(in_pipe[0]);
+  close(out_pipe[1]);
+  uint64_t n = spec.size();
+  bool ok = fd_write_full(in_pipe[1], &n, 8) &&
+            (n == 0 || fd_write_full(in_pipe[1], spec.data(), n));
+  close(in_pipe[1]);
+  uint64_t rn = 0;
+  std::string result;
+  if (ok && fd_read_full(out_pipe[0], &rn, 8)) {
+    result.resize(rn);
+    ok = rn == 0 || fd_read_full(out_pipe[0], &result[0], rn);
+  } else {
+    ok = false;
+  }
+  close(out_pipe[0]);
+  int status = 0;
+  waitpid(pid, &status, 0);
+  if (!ok || !WIFEXITED(status) || WEXITSTATUS(status) != 0) {
+    const char* msg = "egg processor failed (is FLASHE_PYTHON set and "
+                      "flashe_tpu on PYTHONPATH?)";
+    send_resp(fd, 2, msg, std::strlen(msg));
+    return;
+  }
+  send_resp(fd, 0, result.data(), result.size());
+}
+
 void serve_conn(int fd) {
   int one = 1;
   setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
@@ -137,12 +236,23 @@ void serve_conn(int fd) {
     if (vlen && !read_full(fd, &val[0], vlen)) break;
     if (op == 7) {  // SHUTDOWN: flush everything, ack, exit
       {
+        // lock ordering g_mu then st->mu matches get_store/serve_conn;
+        // taking each store's mu quiesces in-flight ops on other
+        // connection threads so no put can race the final flush and
+        // leave a torn (unacked-loss) tail.
         std::lock_guard<std::mutex> lock(g_mu);
-        for (auto& kv : g_stores) kv_flush(kv.second->h);
+        for (auto& kv : g_stores) {
+          std::lock_guard<std::mutex> st_lock(kv.second->mu);
+          kv_flush(kv.second->h);
+        }
       }
       send_resp(fd, 0, nullptr, 0);
       close(fd);
       std::_Exit(0);
+    }
+    if (op == 8) {  // EXEC
+      handle_exec(fd, val);
+      continue;
     }
     OpenStore* st = get_store(ns, name, (int)part);
     if (!st) {
@@ -228,6 +338,9 @@ int main(int argc, char** argv) {
   }
   g_root = argv[1];
   ::mkdir(g_root.c_str(), 0777);
+  // a client or egg pipe dying mid-write must surface as an error
+  // return, not a process-killing SIGPIPE
+  signal(SIGPIPE, SIG_IGN);
   int port = std::atoi(argv[2]);
   int srv = socket(AF_INET, SOCK_STREAM, 0);
   int one = 1;
@@ -242,6 +355,7 @@ int main(int argc, char** argv) {
   }
   socklen_t alen = sizeof(addr);
   getsockname(srv, (sockaddr*)&addr, &alen);
+  g_port = (int)ntohs(addr.sin_port);
   listen(srv, 64);
   // the chosen port on stdout so a parent process can connect (port 0 =
   // ephemeral), matching fedbroker's handshake convention
