@@ -65,7 +65,7 @@ class FlasheClient:
         deadline = time.time() + timeout
         while time.time() < deadline:
             rec = self.query_job(job_id)
-            if rec["status"] != "running":
+            if rec["status"] not in ("waiting", "running"):
                 return rec
             time.sleep(poll)
         raise TimeoutError(f"job {job_id} still running after {timeout}s")

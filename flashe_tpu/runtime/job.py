@@ -189,7 +189,7 @@ def submit_dsl_job(dsl: dict, conf: dict,
     workdir = workdir or tempfile.mkdtemp(prefix=f"flashe_job_{job_id}_")
     os.makedirs(workdir, exist_ok=True)
     reg = registry or default_registry()
-    reg.create(job_id, {"dsl": dsl, "n_hosts": jc.n_hosts,
+    reg.create(job_id, {"dsl": dsl, "conf": conf, "n_hosts": jc.n_hosts,
                         "workdir": workdir})
 
     broker = FedBroker()

@@ -17,11 +17,31 @@ the stdlib ThreadingHTTPServer — no new dependencies, JSON in/out:
     POST /v1/model/bind    {"namespace","version"}     -> bind record
     GET  /v1/version                                   -> build info
 
-Jobs run asynchronously in a worker thread (the reference's scheduler
-decouples submission from execution the same way); query/result poll the
-registry.  Cross-party control RPC (the reference's gRPC unaryCall
-through the Java proxy) is not reproduced: parties here join over the
-native federation broker, which carries both control and data planes.
+Jobs run asynchronously through a bounded-concurrency queue (the
+reference's DAGScheduler pulls submissions from a job queue with
+MAX_CONCURRENT_JOB_RUN=5 workers, fate_flow_server.py:101,
+settings.py:44); excess submissions wait in FIFO order with status
+"waiting".  query/result poll the registry.  Cross-party control RPC
+(the reference's gRPC unaryCall through the Java proxy) is not
+reproduced: parties here join over the native federation broker, which
+carries both control and data planes.
+
+Beyond the job/data/table/model groups above, the remaining fate_flow
+app groups are served too (apps/{tracking,pipeline,permission,
+schedule}_app.py):
+
+    POST /v1/tracking/job/data_view          {"job_id"}
+    POST /v1/tracking/component/metric/all   {"job_id"}
+    POST /v1/tracking/component/metrics      {"job_id"}
+    POST /v1/tracking/component/metric_data  {"job_id","component_name",
+                                              "role"?, "metric_name"?}
+    POST /v1/tracking/component/parameters   {"job_id","component_name",
+                                              "role","ordinal"?}
+    POST /v1/pipeline/dag/dependency         {"job_id"}
+    POST /v1/permission/grant/privilege      {"variable","src_role","dst_role"}
+    POST /v1/permission/delete/privilege     {"variable","src_role","dst_role"}
+    POST /v1/permission/query/privilege      {"src_role"?}
+    GET  /v1/schedule/queue                  -> waiting/running/max_concurrent
 """
 
 from __future__ import annotations
@@ -83,10 +103,22 @@ class JobServer:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 9380,
                  registry: Optional[JobRegistry] = None,
-                 force_cpu: bool = False):
+                 force_cpu: bool = False,
+                 max_concurrent: Optional[int] = None):
+        import queue as _queue
+
         self.registry = registry or default_registry()
         self.force_cpu = force_cpu
-        self._threads = {}
+        self.max_concurrent = int(
+            max_concurrent
+            if max_concurrent is not None
+            else os.environ.get("FLASHE_MAX_CONCURRENT_JOB_RUN", "5"))
+        self._queue: "_queue.Queue" = _queue.Queue()
+        self._queue_lock = threading.Lock()
+        self._waiting: list = []   # FIFO of queued job ids
+        self._running: set = set()
+        self._workers: list = []
+        self._closing = False
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -161,12 +193,24 @@ class JobServer:
         if path in ("/", "/board", "/board/"):
             return webboard.render_index_html(self.registry.list_jobs())
         if path.startswith("/board/"):
+            from flashe_tpu.runtime import apps
+
             job_id = path[len("/board/"):].strip("/")
             rec = self.registry.query(job_id)  # KeyError -> 404
             result = None
             if os.path.exists(self._result_path(job_id)):
                 result = self._load_result(job_id)
-            return webboard.render_job_html(rec, result)
+            # board pages consume the same tracking/pipeline views the
+            # HTTP tracking endpoints serve (runtime/apps.py)
+            tracking = {}
+            try:
+                tracking["dag"] = apps.dag_dependency(self.registry,
+                                                      job_id)
+            except (ValueError, KeyError):
+                pass
+            tracking["metrics"] = apps.metric_all(self.registry, job_id)
+            return webboard.render_job_html(rec, result,
+                                            tracking=tracking)
         return None
 
     def handle_get(self, path: str, q: dict):
@@ -192,6 +236,8 @@ class JobServer:
             ns = q["namespace"]
             return {"versions": mm.list_versions(ns),
                     "bound": mm.bound_version(ns)}
+        if path == "/v1/schedule/queue":
+            return self.queue_view()
         raise KeyError(f"no route GET {path}")
 
     def handle_post(self, path: str, body: dict):
@@ -211,6 +257,48 @@ class JobServer:
 
             return default_model_manager().bind(body["namespace"],
                                                 body["version"])
+        if path.startswith("/v1/tracking/"):
+            return self._handle_tracking(path, body)
+        if path == "/v1/pipeline/dag/dependency":
+            from flashe_tpu.runtime import apps
+
+            return apps.dag_dependency(self.registry, body["job_id"])
+        if path.startswith("/v1/permission/"):
+            return self._handle_permission(path, body)
+        raise KeyError(f"no route POST {path}")
+
+    def _handle_tracking(self, path: str, body: dict):
+        from flashe_tpu.runtime import apps
+
+        if path == "/v1/tracking/job/data_view":
+            return apps.job_data_view(self.registry, body["job_id"])
+        if path == "/v1/tracking/component/metric/all":
+            return apps.metric_all(self.registry, body["job_id"])
+        if path == "/v1/tracking/component/metrics":
+            return apps.metric_names(self.registry, body["job_id"])
+        if path == "/v1/tracking/component/metric_data":
+            return apps.metric_data(
+                self.registry, body["job_id"], body["component_name"],
+                role=body.get("role"),
+                metric_name=body.get("metric_name"))
+        if path == "/v1/tracking/component/parameters":
+            return apps.component_parameters(
+                self.registry, body["job_id"], body["component_name"],
+                body["role"], int(body.get("ordinal", 0)))
+        raise KeyError(f"no route POST {path}")
+
+    def _handle_permission(self, path: str, body: dict):
+        from flashe_tpu.runtime.permission import default_privilege_store
+
+        store = default_privilege_store()
+        if path == "/v1/permission/grant/privilege":
+            return store.grant(body["variable"], body["src_role"],
+                               body["dst_role"])
+        if path == "/v1/permission/delete/privilege":
+            return store.revoke(body["variable"], body["src_role"],
+                                body["dst_role"])
+        if path == "/v1/permission/query/privilege":
+            return {"privileges": store.query(body.get("src_role"))}
         raise KeyError(f"no route POST {path}")
 
     # ------------------------------------------------------------ actions
@@ -237,33 +325,78 @@ class JobServer:
         jc = JobConf.parse(body["conf"])
         job_id = uuid.uuid4().hex[:12]
         # create the record BEFORE returning, so an immediate query works
-        # (submit_dsl_job re-creates it with the full metadata)
+        # (submit_dsl_job re-creates it with the full metadata once a
+        # worker picks the job up); dsl/conf are stored for the
+        # tracking/pipeline endpoints even while waiting
         self.registry.create(job_id, {"n_hosts": jc.n_hosts,
-                                      "queued": True})
+                                      "dsl": body["dsl"],
+                                      "conf": body["conf"],
+                                      "queued": True,
+                                      "status": "waiting"})
+        with self._queue_lock:
+            self._waiting.append(job_id)
+        self._queue.put((job_id, body))
+        self._ensure_workers()
+        return {"job_id": job_id, "status": "waiting"}
 
-        def run():
-            from flashe_tpu.runtime.job import submit_dsl_job
+    # ------------------------------------------------- job queue workers
 
-            env = {"FLASHE_FORCE_CPU": "1"} if self.force_cpu else None
-            try:
-                results = submit_dsl_job(
-                    body["dsl"], body["conf"], registry=self.registry,
-                    job_id=job_id, env_overrides=env,
-                    timeout=float(body.get("timeout", 900.0)))
-            except Exception as e:  # noqa: BLE001 - record terminal state
-                try:
-                    if self.registry.query(job_id)["status"] == "running":
-                        self.registry.finish(job_id, "failed", str(e))
-                except KeyError:
-                    pass
+    def _ensure_workers(self):
+        with self._queue_lock:
+            need = self.max_concurrent - len(self._workers)
+            for i in range(need):
+                t = threading.Thread(
+                    target=self._worker,
+                    name=f"job-worker-{len(self._workers)}", daemon=True)
+                self._workers.append(t)
+                t.start()
+
+    def _worker(self):
+        while True:
+            item = self._queue.get()
+            if item is None:  # close() sentinel
                 return
-            with open(self._result_path(job_id), "w") as f:
-                json.dump(summarize_result(results), f)
+            job_id, body = item
+            with self._queue_lock:
+                if job_id in self._waiting:
+                    self._waiting.remove(job_id)
+            try:
+                if self.registry.query(job_id)["status"] != "waiting":
+                    continue  # stopped while queued: never starts
+            except KeyError:
+                continue
+            with self._queue_lock:
+                self._running.add(job_id)
+            try:
+                self._run_job(job_id, body)
+            finally:
+                with self._queue_lock:
+                    self._running.discard(job_id)
 
-        t = threading.Thread(target=run, name=f"job-{job_id}", daemon=True)
-        self._threads[job_id] = t
-        t.start()
-        return {"job_id": job_id, "status": "running"}
+    def _run_job(self, job_id: str, body: dict):
+        from flashe_tpu.runtime.job import submit_dsl_job
+
+        env = {"FLASHE_FORCE_CPU": "1"} if self.force_cpu else None
+        try:
+            results = submit_dsl_job(
+                body["dsl"], body["conf"], registry=self.registry,
+                job_id=job_id, env_overrides=env,
+                timeout=float(body.get("timeout", 900.0)))
+        except Exception as e:  # noqa: BLE001 - record terminal state
+            try:
+                if self.registry.query(job_id)["status"] == "running":
+                    self.registry.finish(job_id, "failed", str(e))
+            except KeyError:
+                pass
+            return
+        with open(self._result_path(job_id), "w") as f:
+            json.dump(summarize_result(results), f)
+
+    def queue_view(self) -> dict:
+        with self._queue_lock:
+            return {"max_concurrent": self.max_concurrent,
+                    "waiting": list(self._waiting),
+                    "running": sorted(self._running)}
 
     def _upload(self, body: dict) -> dict:
         import numpy as np
@@ -302,6 +435,10 @@ class JobServer:
     def close(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+        with self._queue_lock:
+            workers = list(self._workers)
+        for _ in workers:
+            self._queue.put(None)  # unblock idle workers
 
 
 def serve(host: str = "127.0.0.1", port: int = 9380,

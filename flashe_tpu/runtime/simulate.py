@@ -27,9 +27,11 @@ def run_roles(n_hosts: int, guest_fn: Callable, host_fn: Callable,
     guest_fn(trv), host_fn(trv, host_idx), arbiter_fn(trv); each thread
     gets its own HomoTransferVariables bound to its party.
     """
+    from flashe_tpu.runtime.permission import effective_authorization
+
     broker = InMemBroker()
     parties = default_parties(n_hosts)
-    auth = HomoTransferVariables.authorization()
+    auth = effective_authorization()
 
     results: Dict[str, object] = {}
     errors: Dict[str, BaseException] = {}

@@ -42,8 +42,10 @@ def run_task(cfg: dict):
     parties = default_parties(cfg["n_hosts"])
     local = Party(role, party_id)
 
+    from flashe_tpu.runtime.permission import effective_authorization
+
     fed = TcpFederation(tuple(cfg["broker"]), cfg["job_id"], local, parties,
-                        HomoTransferVariables.authorization())
+                        effective_authorization())
     trv = HomoTransferVariables(fed)
 
     out = {"role": role, "party_id": party_id}

@@ -30,6 +30,7 @@ _SERIES = [("#2a78d6", "#3987e5"), ("#eb6834", "#d95926"),
 _STATUS = {  # color + glyph; the word itself always renders beside it
     "success": ("#0ca30c", "#0ca30c"),
     "running": ("#2a78d6", "#3987e5"),
+    "waiting": ("#898781", "#898781"),
     "failed": ("#d03b3b", "#d03b3b"),
     "timeout": ("#d03b3b", "#d03b3b"),
     "canceled": ("#898781", "#898781"),
@@ -199,7 +200,8 @@ def render_index_html(jobs: List[dict]) -> str:
     table = ("<table><tr><th>job</th><th>status</th><th>tasks</th>"
              "<th>updated</th></tr>" + "".join(rows) + "</table>"
              if rows else "<p class='sub'>no jobs yet</p>")
-    running = any(r.get("status") == "running" for r in jobs)
+    running = any(r.get("status") in ("running", "waiting")
+                  for r in jobs)
     body = (f"<h1>flashe-tpu jobs</h1><p class='sub'>{len(jobs)} job(s)"
             f"</p><div class='card'>{table}</div>")
     return _page("flashe-tpu jobs", body, refresh=running)
@@ -337,9 +339,43 @@ def _phase_bars(phases: Dict[str, dict]) -> str:
 # ----------------------------------------------------------------- job page
 
 
-def render_job_html(rec: dict, result: Optional[dict] = None) -> str:
+def _dag_card(dag: dict) -> str:
+    """Pipeline DAG card (tracking/pipeline app view — runtime/apps.py
+    dag_dependency; FATEBoard renders the same dependency graph)."""
+    mods = dag.get("component_module", {})
+    deps = dag.get("dependencies", {})
+    rows = "".join(
+        f"<tr><td>{_esc(c)}</td><td>{_esc(mods.get(c, ''))}</td>"
+        f"<td>{_esc(', '.join(deps.get(c, [])) or '-')}</td></tr>"
+        for c in dag.get("component_list", []))
+    return (f"<div class='card'><h2>pipeline DAG</h2><table>"
+            f"<tr><th>component</th><th>module</th><th>depends on</th>"
+            f"</tr>{rows}</table></div>")
+
+
+def _metrics_card(metrics: dict) -> str:
+    """Tracked metric series (tracking app view — apps.metric_all)."""
+    rows = []
+    for rk, comps in sorted(metrics.items()):
+        for comp, series in sorted(comps.items()):
+            for name, pts in sorted(series.items()):
+                last = f"{pts[-1][1]:.6g}" if pts else "-"
+                rows.append(
+                    f"<tr><td>{_esc(rk)}/{_esc(comp)}</td>"
+                    f"<td>{_esc(name)}</td><td>{len(pts)}</td>"
+                    f"<td>{_esc(last)}</td></tr>")
+    if not rows:
+        return ""
+    return (f"<div class='card'><h2>tracked metrics</h2><table>"
+            f"<tr><th>component</th><th>metric</th><th>points</th>"
+            f"<th>last</th></tr>{''.join(rows)}</table></div>")
+
+
+def render_job_html(rec: dict, result: Optional[dict] = None,
+                    tracking: Optional[dict] = None) -> str:
     jid = rec["job_id"]
     summary = (result or {}).get("result") or {}
+    tracking = tracking or {}
 
     cards = []
     err = (f"<p class='sub'>error: {_esc(rec['error'])}</p>"
@@ -361,6 +397,13 @@ def render_job_html(rec: dict, result: Optional[dict] = None) -> str:
         cards.append(f"<div class='card'><h2>tasks</h2><table>"
                      f"<tr><th>task</th><th>status</th><th>pid</th></tr>"
                      f"{rows}</table></div>")
+
+    if tracking.get("dag"):
+        cards.append(_dag_card(tracking["dag"]))
+    if tracking.get("metrics"):
+        card = _metrics_card(tracking["metrics"])
+        if card:
+            cards.append(card)
 
     # loss curves: {series name -> values}
     series: Dict[str, List[float]] = {}
@@ -433,4 +476,4 @@ def render_job_html(rec: dict, result: Optional[dict] = None) -> str:
     body = ("<p class='sub'><a href='/board'>&larr; all jobs</a></p>"
             + "".join(cards))
     return _page(f"job {jid}", body,
-                 refresh=rec.get("status") == "running")
+                 refresh=rec.get("status") in ("running", "waiting"))

@@ -31,3 +31,5 @@ _state = tempfile.mkdtemp(prefix="flashe_test_state_")
 os.environ.setdefault("FLASHE_JOBS_DIR", os.path.join(_state, "jobs"))
 os.environ.setdefault("FLASHE_DATA_DIR", os.path.join(_state, "data"))
 os.environ.setdefault("FLASHE_MODELS_DIR", os.path.join(_state, "models"))
+os.environ.setdefault("FLASHE_PERMISSIONS_PATH",
+                      os.path.join(_state, "permissions.json"))
