@@ -259,7 +259,7 @@ def bitsliced_counter_words(round_keys, iter_index, stream_idx,
 
 def bitsliced_counter_words_flat(round_keys, iter_index, stream_idx,
                                  ngroups: int, begin_block=0,
-                                 two_d: bool = False):
+                                 two_d: bool = False, stream_idx2=None):
     """Same contract/output as bitsliced_counter_words, but the AES state
     lives as 128 *independent* (G,) planes in a python list instead of a
     stacked (16, 8, G) tensor.
@@ -281,10 +281,19 @@ def bitsliced_counter_words_flat(round_keys, iter_index, stream_idx,
     plane op fills a whole (8, 128) vreg when ngroups = 1024 instead of
     a single sublane row — the layout the fused Pallas kernel uses.
     Output words are then (32, 8, cols).
+
+    stream_idx2 (two_d only): evaluate TWO independent streams in one
+    shared gate schedule — each plane gains a leading stream axis of 2,
+    so every gate is a single op over both circuits' planes (two vregs
+    from two independent dependency chains per instruction).  Returns
+    (words_a, words_b), each the two_d single-stream shape.  This is the
+    two-stream interleave experiment of docs/ROOFLINE.md §3: FLASHE's
+    double mask needs both streams anyway (jzf_flashe.py:480-481).
     """
     iter_index = jnp.asarray(iter_index, jnp.int32)
     stream_idx = jnp.asarray(stream_idx, jnp.int32)
     base = jnp.asarray(begin_block, jnp.int32)
+    dual = stream_idx2 is not None
     if two_d:
         # (rows, 128) planes: exactly ngroups/1024 vregs per gate op.
         # rows=8 (G=1024) is one vreg; larger tiles stack more sublane
@@ -294,22 +303,42 @@ def bitsliced_counter_words_flat(round_keys, iter_index, stream_idx,
         assert ngroups % cols == 0, "two_d planes need ngroups % 128 == 0"
         pshape = (ngroups // cols, cols)
     else:
+        assert not dual, "dual streams need the two_d plane layout"
         pshape = (ngroups,)
+    one_shape = pshape
+    if dual:
+        stream_idx2 = jnp.asarray(stream_idx2, jnp.int32)
+        pshape = (2,) + pshape  # leading stream axis
     group_base = (base + 32 * jnp.arange(ngroups, dtype=jnp.int32)
-                  ).reshape(pshape)
+                  ).reshape(one_shape)
+    if dual:
+        group_base = jnp.broadcast_to(group_base[None], pshape)
     zeros = jnp.zeros(pshape, jnp.uint32)
 
     def scalar_plane(value, bit):
         b = ((value >> bit) & 1).astype(jnp.uint32) * _FULL
         return jnp.broadcast_to(b, pshape)
 
+    def stream_plane(k, bit):
+        """Bit `bit` of stream-idx byte k — the only planes that differ
+        between the two interleaved circuits."""
+        v = (stream_idx >> (8 * (3 - k))) & 0xFF
+        if not dual:
+            return scalar_plane(v, bit)
+        v2 = (stream_idx2 >> (8 * (3 - k))) & 0xFF
+        a = ((v >> bit) & 1).astype(jnp.uint32) * _FULL
+        b = ((v2 >> bit) & 1).astype(jnp.uint32) * _FULL
+        # broadcast each stream to the plane shape BEFORE stacking:
+        # Mosaic cannot shape-cast a length-2 vector to (2, 1, 1)
+        return jnp.stack([jnp.broadcast_to(a, one_shape),
+                          jnp.broadcast_to(b, one_shape)], axis=0)
+
     planes = []
     for k in range(4):      # bytes 0-3: iter_index BE
         v = (iter_index >> (8 * (3 - k))) & 0xFF
         planes.extend(scalar_plane(v, i) for i in range(8))
     for k in range(4):      # bytes 4-7: stream_idx BE
-        v = (stream_idx >> (8 * (3 - k))) & 0xFF
-        planes.extend(scalar_plane(v, i) for i in range(8))
+        planes.extend(stream_plane(k, i) for i in range(8))
     for k in range(8):      # bytes 8-15: 64-bit counter BE
         for i in range(8):
             bitpos = (7 - k) * 8 + i
@@ -378,6 +407,22 @@ def bitsliced_counter_words_flat(round_keys, iter_index, stream_idx,
     planes = sub_bytes(planes)
     planes = shift_rows(planes)
     planes = ark(planes, 14)
+
+    if dual:
+        # split the stream axis before the transpose network so each
+        # stream's words come out in the single-stream two_d shape
+        words_a, words_b = [], []
+        for w in range(4):
+            pa, pb = [], []
+            for t in range(32):
+                bitpos = 32 * w + t
+                k = 15 - (bitpos >> 3)
+                i = bitpos & 7
+                pa.append(planes[k * 8 + i][0])
+                pb.append(planes[k * 8 + i][1])
+            words_a.append(jnp.stack(_transpose32(pa), axis=0))
+            words_b.append(jnp.stack(_transpose32(pb), axis=0))
+        return words_a, words_b
 
     words = []
     for w in range(4):

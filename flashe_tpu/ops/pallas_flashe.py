@@ -53,6 +53,13 @@ _GROUPS_PER_TILE = int(_os.environ.get("FLASHE_TILE_GROUPS", "1024"))
 assert _GROUPS_PER_TILE % 128 == 0
 _PL_SUB = _GROUPS_PER_TILE // 128  # plane sublane dim (vregs per gate)
 
+# FLASHE_DUAL_INTERLEAVE=1 evaluates the add and minus AES circuits in
+# ONE shared gate schedule (each gate op spans both circuits' planes —
+# two independent dependency chains per instruction) instead of two
+# sequential circuit evaluations — the remaining ILP experiment of
+# docs/ROOFLINE.md §3.
+_DUAL_INTERLEAVE = _os.environ.get("FLASHE_DUAL_INTERLEAVE") == "1"
+
 
 def _groups(interpret: bool) -> int:
     # interpret mode (CPU tests) executes the unrolled AES trace
@@ -88,8 +95,15 @@ def _kernel(q_ref, it_ref, add_idx_ref, minus_idx_ref, base_ref, rk_ref,
         words = bitsliced_counter_words(rk, it, idx, groups, begin_block)
         return [w.reshape(32, _PL_SUB, groups // _PL_SUB) for w in words]
 
-    add = lanes_permuted(stream(add_idx_ref[0]), int_bits)
-    minus = lanes_permuted(stream(minus_idx_ref[0]), int_bits)
+    if flat and _DUAL_INTERLEAVE:
+        wa, wb = bitsliced_counter_words_flat(
+            rk, it, add_idx_ref[0], groups, begin_block, two_d=True,
+            stream_idx2=minus_idx_ref[0])
+        add = lanes_permuted(wa, int_bits)
+        minus = lanes_permuted(wb, int_bits)
+    else:
+        add = lanes_permuted(stream(add_idx_ref[0]), int_bits)
+        minus = lanes_permuted(stream(minus_idx_ref[0]), int_bits)
     m = np.uint32((1 << int_bits) - 1) if int_bits < 32 else np.uint32(
         0xFFFFFFFF)
     out_ref[0] = (q_ref[0] + add - minus) & m

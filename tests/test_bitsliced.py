@@ -63,3 +63,24 @@ def test_flat_planes_match_stacked():
     for a, b in zip(ref, flat2):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b).reshape(32, 8))
+
+
+def test_dual_interleaved_streams_match_singles():
+    """The shared-schedule dual-stream circuit (FLASHE_DUAL_INTERLEAVE
+    experiment, docs/ROOFLINE.md §3) is bit-identical to two independent
+    single-stream evaluations."""
+    import jax.numpy as jnp
+
+    from flashe_tpu.ops import aes as aes_mod
+    from flashe_tpu.ops import aes_bitsliced as ab
+
+    rk = jnp.asarray(
+        aes_mod.key_schedule(bytes(range(32))).astype(np.int32))
+    one_a = ab.bitsliced_counter_words_flat(rk, 5, 2, 256, 96, two_d=True)
+    one_b = ab.bitsliced_counter_words_flat(rk, 5, 3, 256, 96, two_d=True)
+    wa, wb = ab.bitsliced_counter_words_flat(rk, 5, 2, 256, 96,
+                                             two_d=True, stream_idx2=3)
+    for x, y in zip(one_a, wa):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(one_b, wb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
