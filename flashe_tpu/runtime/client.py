@@ -80,6 +80,27 @@ class FlasheClient:
     def list_tables(self):
         return self._call("GET", "/v1/table/list")
 
+    def table_info(self, namespace: str, name: str):
+        return self._call(
+            "GET", f"/v1/table/info?namespace={namespace}&name={name}")
+
+    def delete_table(self, namespace: str, name: str):
+        return self._call("POST", "/v1/table/delete",
+                          {"namespace": namespace, "name": name})
+
+    def download(self, namespace: str, name: str) -> str:
+        """Table contents as CSV text (reference download access module)."""
+        return self._call("POST", "/v1/data/download",
+                          {"namespace": namespace, "name": name})["csv"]
+
+    def job_log(self, job_id: str, task: str = None, tail: int = 0):
+        q = f"job_id={job_id}" + (f"&task={task}" if task else "") + \
+            (f"&tail={tail}" if tail else "")
+        return self._call("GET", f"/v1/job/log?{q}")
+
+    def job_config(self, job_id: str):
+        return self._call("GET", f"/v1/job/config?job_id={job_id}")
+
     def list_models(self, namespace: str):
         return self._call("GET", f"/v1/model/list?namespace={namespace}")
 

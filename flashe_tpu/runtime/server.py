@@ -38,6 +38,11 @@ schedule}_app.py):
     POST /v1/tracking/component/parameters   {"job_id","component_name",
                                               "role","ordinal"?}
     POST /v1/pipeline/dag/dependency         {"job_id"}
+    GET  /v1/job/log?job_id=&task=&tail=     per-task log text
+    GET  /v1/job/config?job_id=              submitted dsl + conf
+    GET  /v1/table/info?namespace=&name=     one table's metadata
+    POST /v1/table/delete                    {"namespace","name"}
+    POST /v1/data/download                   {"namespace","name"} -> csv
     POST /v1/permission/grant/privilege      {"variable","src_role","dst_role"}
     POST /v1/permission/delete/privilege     {"variable","src_role","dst_role"}
     POST /v1/permission/query/privilege      {"src_role"?}
@@ -238,6 +243,26 @@ class JobServer:
                     "bound": mm.bound_version(ns)}
         if path == "/v1/schedule/queue":
             return self.queue_view()
+        if path == "/v1/job/log":
+            # reference job_app.py:112 /job/log (per-task log tree)
+            return self.registry.read_log(
+                q["job_id"], task=q.get("task"),
+                tail=int(q.get("tail", 0)))
+        if path == "/v1/job/config":
+            # reference job_app.py:94 /job/config (submitted dsl + conf)
+            rec = self.registry.query(q["job_id"])
+            return {"job_id": q["job_id"], "dsl": rec.get("dsl"),
+                    "conf": rec.get("conf")}
+        if path == "/v1/table/info":
+            # reference table_app.py:52 /table/table_info
+            from flashe_tpu.data.store import default_store
+
+            for t in default_store().list_tables():
+                if (t["namespace"] == q["namespace"]
+                        and t["name"] == q["name"]):
+                    return t
+            raise KeyError(
+                f"no table {q['namespace']}.{q['name']}")
         raise KeyError(f"no route GET {path}")
 
     def handle_post(self, path: str, body: dict):
@@ -257,6 +282,29 @@ class JobServer:
 
             return default_model_manager().bind(body["namespace"],
                                                 body["version"])
+        if path == "/v1/table/delete":
+            # reference table_app.py:33 /table/delete
+            from flashe_tpu.data.store import default_store
+
+            ok = default_store().delete(body["namespace"], body["name"])
+            return {"namespace": body["namespace"],
+                    "name": body["name"], "deleted": bool(ok)}
+        if path == "/v1/data/download":
+            # reference data_access_app.py:36 download: table -> CSV text
+            import tempfile
+
+            from flashe_tpu.data.store import default_store
+
+            with tempfile.NamedTemporaryFile("r", suffix=".csv",
+                                             delete=False) as f:
+                out_path = f.name
+            default_store().download_csv(body["namespace"], body["name"],
+                                         out_path)
+            with open(out_path) as f:
+                csv_text = f.read()
+            os.unlink(out_path)
+            return {"namespace": body["namespace"], "name": body["name"],
+                    "csv": csv_text}
         if path.startswith("/v1/tracking/"):
             return self._handle_tracking(path, body)
         if path == "/v1/pipeline/dag/dependency":

@@ -260,3 +260,35 @@ def test_job_queue_bounded_concurrency(tmp_path, monkeypatch):
         assert jids[1] not in started
     finally:
         srv.close()
+
+
+# ------------------------------------------------- data / table / log
+
+
+def test_table_info_delete_download(server):
+    """Reference table_app (info/delete) + data_access download."""
+    client, _, _ = server
+    csv_text = "y,f0,f1\n0,1.0,2.0\n1,3.0,4.0\n"
+    client.upload("appns", "t1", csv_text)
+    info = client.table_info("appns", "t1")
+    assert info["count"] == 2 and info["namespace"] == "appns"
+
+    got = client.download("appns", "t1")
+    lines = got.strip().splitlines()
+    assert lines[0].split(",")[0] == "y" and len(lines) == 3
+
+    assert client.delete_table("appns", "t1")["deleted"]
+    with pytest.raises(ServerError, match="404"):
+        client.table_info("appns", "t1")
+
+
+def test_job_log_and_config_endpoints(server):
+    client, _, reg = server
+    jid = _seed_job(reg)
+    os.makedirs(reg.log_dir(jid), exist_ok=True)
+    with open(os.path.join(reg.log_dir(jid), "guest_0.log"), "w") as f:
+        f.write("line1\nline2\nline3\n")
+    logs = client.job_log(jid, task="guest_0", tail=2)
+    assert logs["guest_0"] == "line2\nline3"
+    cfg = client.job_config(jid)
+    assert cfg["dsl"] == DSL and cfg["conf"]["role"]["host"] == [10000]
