@@ -148,6 +148,11 @@ def main():
     ap.add_argument("--learning-rate", type=float, default=0.01)
     ap.add_argument("--small", action="store_true",
                     help="embed 64 / GRU 64 instead of 512/256")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="paired repetitions: schemes alternate per rep "
+                         "(plain, flashe, plain, flashe, ...) so drift "
+                         "hits both arms; overhead reported as mean "
+                         "+/- spread over the pairs")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="examples/shakespeare_results.json")
     ap.add_argument("--write-docs", action="store_true",
@@ -180,30 +185,83 @@ def main():
     out = {"config": {"rounds": args.rounds, "small": args.small,
                       "clients": args.clients, "params": n_params,
                       "batch_size": args.batch_size,
-                      "learning_rate": args.learning_rate},
+                      "learning_rate": args.learning_rate,
+                      "reps": args.reps},
            "schemes": {}}
-    for scheme in args.schemes.split(","):
-        print(f"== scheme {scheme}")
-        rec = run_scheme(scheme, shards, eval_xy, define, args.rounds,
-                         args.learning_rate, args.batch_size,
-                         n_hosts=len(shards) - 1)
-        # drop round 0 from the time stats (XLA compile)
-        steady = rec["round_s"][1:] or rec["round_s"]
-        rec["mean_round_s"] = float(np.mean(steady))
-        out["schemes"][scheme] = rec
+    schemes = args.schemes.split(",")
+    for rep in range(args.reps):
+        # alternate arm order per rep: both arms share one process, so
+        # the second arm always inherits warm XLA compiles / allocator
+        # state — a fixed order would bias the comparison toward
+        # whichever scheme runs second
+        order = schemes if rep % 2 == 0 else list(reversed(schemes))
+        for scheme in order:
+            print(f"== scheme {scheme} (rep {rep + 1}/{args.reps})")
+            rec = run_scheme(scheme, shards, eval_xy, define, args.rounds,
+                             args.learning_rate, args.batch_size,
+                             n_hosts=len(shards) - 1)
+            # drop round 0 from the time stats (XLA compile)
+            steady = rec["round_s"][1:] or rec["round_s"]
+            mean_s = float(np.mean(steady))
+            if rep == 0:
+                rec["mean_round_s"] = mean_s
+                rec["mean_round_s_reps"] = [mean_s]
+                rec["round_s_reps"] = [list(map(float, steady))]
+                out["schemes"][scheme] = rec
+            else:
+                out["schemes"][scheme]["mean_round_s_reps"].append(mean_s)
+                out["schemes"][scheme]["round_s_reps"].append(
+                    list(map(float, steady)))
 
     if {"plain", "flashe"} <= set(out["schemes"]):
-        tp = out["schemes"]["plain"]["mean_round_s"]
-        tf = out["schemes"]["flashe"]["mean_round_s"]
-        out["flashe_overhead_pct"] = round(100.0 * (tf - tp) / tp, 2)
-        print(f"flashe vs plain round time: {tf:.2f}s vs {tp:.2f}s "
-              f"-> overhead {out['flashe_overhead_pct']}%")
+        out.update(overhead_stats(out["schemes"]["plain"],
+                                  out["schemes"]["flashe"]))
+        print(f"flashe vs plain round time: overhead median "
+              f"{out['flashe_overhead_pct']}% "
+              f"[{out['flashe_overhead_ci'][0]}%, "
+              f"{out['flashe_overhead_ci'][1]}%] 95% CI over "
+              f"{out['flashe_overhead_n_pairs']} round pairs "
+              f"(rep-level pairs: {out['flashe_overhead_reps']})")
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}")
     if args.write_docs:
         write_docs(out)
+
+
+def overhead_stats(pl: dict, fl: dict) -> dict:
+    """Round-level paired overhead statistics.
+
+    The shared remote-TPU tunnel drifts at the minutes scale, so
+    rep-level means swing +/-30% and run-level pairing cannot cancel it.
+    Round r of the two arms within one rep runs ~40 s apart, so the
+    per-round ratio (tf_r - tp_r)/tp_r is drift-paired; with R rounds x
+    N reps there are R*N such pairs.  The reported figure is their
+    MEDIAN (robust to the tunnel's multi-second stalls on individual
+    rounds) with a 95% bootstrap confidence interval, plus the rep-level
+    pairs for transparency."""
+    tps_all = pl.get("round_s_reps") or [pl["round_s"][1:]]
+    tfs_all = fl.get("round_s_reps") or [fl["round_s"][1:]]
+    ratios = []
+    for tp_r, tf_r in zip(tps_all, tfs_all):
+        for tp, tf in zip(tp_r, tf_r):
+            ratios.append(100.0 * (tf - tp) / tp)
+    ratios = np.asarray(ratios)
+    med = float(np.median(ratios))
+    rng = np.random.RandomState(0)
+    boots = [float(np.median(ratios[rng.randint(0, len(ratios),
+                                                len(ratios))]))
+             for _ in range(2000)]
+    lo, hi = np.percentile(boots, [2.5, 97.5])
+    rep_ohs = [100.0 * (np.mean(tf_r) - np.mean(tp_r)) / np.mean(tp_r)
+               for tp_r, tf_r in zip(tps_all, tfs_all)]
+    return {
+        "flashe_overhead_pct": round(med, 2),
+        "flashe_overhead_ci": [round(float(lo), 2), round(float(hi), 2)],
+        "flashe_overhead_n_pairs": len(ratios),
+        "flashe_overhead_reps": [round(float(o), 2) for o in rep_ohs],
+    }
 
 
 def write_docs(out):
@@ -237,15 +295,42 @@ def write_docs(out):
         lines.append(f"| {r} | {g(pl, 'eval_loss')} | {g(pl, 'eval_acc')} "
                      f"| {g(fl, 'eval_loss')} | {g(fl, 'eval_acc')} |")
     if "flashe_overhead_pct" in out:
-        tp = pl.get("mean_round_s")
-        tf = fl.get("mean_round_s")
-        lines += [
-            "",
-            f"Round time (steady state, round 0 excluded): plain "
-            f"{tp:.3f} s, flashe {tf:.3f} s -> overhead "
-            f"**{out['flashe_overhead_pct']}%** (reference claim: <=6% "
-            "at this scale, README.md:21).",
-        ]
+        import numpy as _np
+
+        tps = pl.get("mean_round_s_reps", [pl.get("mean_round_s")])
+        tfs = fl.get("mean_round_s_reps", [fl.get("mean_round_s")])
+        oh = out["flashe_overhead_pct"]
+        ci = out.get("flashe_overhead_ci")
+        reps = out.get("flashe_overhead_reps", [oh])
+        if ci and out.get("flashe_overhead_n_pairs", 0) > len(reps):
+            verdict = ("comfortably inside" if ci[1] <= 6.0 else
+                       "inside" if oh <= 6.0 else "OUTSIDE")
+            lines += [
+                "",
+                f"Round time (steady state, round 0 excluded; "
+                f"{len(reps)} interleaved plain/flashe reps, arm order "
+                f"alternating per rep so warm-process bias cancels): "
+                f"plain "
+                f"{_np.mean(tps):.3f} s, flashe {_np.mean(tfs):.3f} s "
+                f"-> overhead **{oh:+.2f}%**, 95% bootstrap CI "
+                f"[{ci[0]:+.2f}%, {ci[1]:+.2f}%] over "
+                f"{out['flashe_overhead_n_pairs']} round-level pairs "
+                f"(median of per-round paired ratios — round r of the "
+                f"two arms runs ~40 s apart, pairing out the shared "
+                f"tunnel's minutes-scale drift that makes rep-level "
+                f"means swing: per-rep overheads "
+                f"{', '.join(f'{o:+.1f}%' for o in reps)}).  The CI is "
+                f"{verdict} the reference's <=6% claim "
+                f"(README.md:21).",
+            ]
+        else:
+            lines += [
+                "",
+                f"Round time (steady state, round 0 excluded): plain "
+                f"{tps[0]:.3f} s, flashe {tfs[0]:.3f} s -> overhead "
+                f"**{oh}%** (single pair — run --reps 3 for error "
+                f"bars; reference claim: <=6%, README.md:21).",
+            ]
     lines += ["", "Raw data: `examples/shakespeare_results.json`.", ""]
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
                         "CONVERGENCE.md")
