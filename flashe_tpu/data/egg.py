@@ -21,14 +21,20 @@ Job spec (cloudpickle-serialized dict):
   src_ns/src_name/src_nparts  source table identity
   parts                       partition indices this egg is responsible
                               for (the node's slice of the table)
-  kind                        "map_partitions" | "reduce"
+  kind                        "map_partitions" | "reduce" | "binary"
   fn                          map: fn(part_idx, items_iter) -> iterable
                               of (k, v) output records;
-                              reduce: fn(acc, value) -> acc
-  out_ns/out_name/out_nparts  map only: output table identity
-  out_nodes                   map only: ordered node address list;
+                              reduce: fn(acc, value) -> acc;
+                              binary: combiner fn(v_self, v_other) (may
+                              be None for subtract)
+  out_ns/out_name/out_nparts  map/binary: output table identity
+  out_nodes                   map/binary: ordered node address list;
                               output partition p lives on node
                               out_nodes[p % len(out_nodes)]
+  src2_ns/src2_name/src2_nparts  binary only: the co-partitioned right
+                              table (same nparts + node list as src, so
+                              partition p of both is local to this node)
+  op                          binary only: "join" | "union" | "subtract"
 
 Result dict: {"ok": bool, "pid": int, "value": partial-or-count,
               "records_in": int, "error": str (when not ok)}.
@@ -73,7 +79,7 @@ def run_job(local_addr: str, spec: dict) -> dict:
             return {"ok": True, "pid": os.getpid(),
                     "value": acc, "seeded": seeded,
                     "records_in": records_in}
-        if kind == "map_partitions":
+        if kind in ("map_partitions", "binary"):
             out_nodes = spec["out_nodes"]
             out_nparts = spec["out_nparts"]
             conns = {}
@@ -86,6 +92,13 @@ def run_job(local_addr: str, spec: dict) -> dict:
                     conns[addr] = c
                 return c
 
+            src2 = None
+            if kind == "binary":
+                src2 = RemoteKVStore(local_addr, spec["src2_ns"],
+                                     spec["src2_name"],
+                                     spec["src2_nparts"])
+                op = spec["op"]
+
             written = 0
             for part in spec["parts"]:
 
@@ -95,7 +108,34 @@ def run_job(local_addr: str, spec: dict) -> dict:
                         records_in += 1
                         yield kv
 
-                for nk, nv in fn(part, counting()):
+                if kind == "map_partitions":
+                    gen = fn(part, counting())
+                else:
+                    # co-partitioned binary op: partition `part` of both
+                    # tables lives on this node (guarded client-side)
+                    d2 = dict(_iter_decoded(src2, part))
+
+                    def gen_binary(items, d2=d2):
+                        seen = set()
+                        for k, v in items:
+                            if op == "join":
+                                if k in d2:
+                                    yield k, fn(v, d2[k])
+                            elif op == "union":
+                                seen.add(k)
+                                yield (k, fn(v, d2[k]) if k in d2
+                                       else v)
+                            else:  # subtract
+                                if k not in d2:
+                                    yield k, v
+                        if op == "union":
+                            for k2, v2 in d2.items():
+                                if k2 not in seen:
+                                    yield k2, v2
+
+                    gen = gen_binary(counting())
+
+                for nk, nv in gen:
                     kb = codec.enc(nk)
                     p = codec.part_of(kb, out_nparts)
                     conn_for(out_nodes[p % len(out_nodes)]).put(
@@ -103,6 +143,8 @@ def run_job(local_addr: str, spec: dict) -> dict:
                     written += 1
             for c in conns.values():
                 c.close()
+            if src2 is not None:
+                src2.close()
             return {"ok": True, "pid": os.getpid(), "value": written,
                     "records_in": records_in}
         return {"ok": False, "pid": os.getpid(),

@@ -204,10 +204,12 @@ class PersistentDTable(DTable):
     which reads the source partitions near the data and shuffles map
     output straight to the owning nodes — the reference's eggroll
     roll/egg compute plane (arch/api/table/table.py:25-179 backed by
-    remote execution in cluster mode).  Against an in-process store
-    (or for the remaining ops: join/union/subtractByKey/glom/sample)
-    they inherit DTable's client-side path and materialize into
-    in-memory derived tables.  Keys/values pickle on the way in;
+    remote execution in cluster mode).  join/union/subtractByKey run
+    server-side too when both tables are co-partitioned on the same
+    node list (no shuffle needed — eggroll's equal-partitions join
+    precondition).  Against an in-process store (or for glom/sample,
+    or non-co-partitioned binary ops) they inherit DTable's
+    client-side path and materialize into in-memory derived tables.  Keys/values pickle on the way in;
     partition routing hashes the pickled key with crc32 so the layout
     is stable across processes (python's `hash` is per-process salted;
     flashe_tpu/data/codec.py is the shared rule).
@@ -409,6 +411,45 @@ class PersistentDTable(DTable):
             else:
                 acc = func(acc, r["value"])
         return acc
+
+    # -- co-partitioned binary ops (join/union/subtractByKey) ----------
+
+    def _co_remote(self, other) -> bool:
+        """Both tables remote, same partition count, same node list —
+        partition p of each is local to one node, so the binary op runs
+        server-side with no shuffle (eggroll requires equal partitions
+        for its join the same way)."""
+        return (self._remote()
+                and isinstance(other, PersistentDTable)
+                and getattr(other._kv, "supports_exec", False)
+                and other._n == self._n
+                and list(getattr(other._kv, "addrs", []))
+                == list(getattr(self._kv, "addrs", [])))
+
+    def _remote_binary(self, op: str, fn, other) -> "DTable":
+        out = self._session._remote_anon_table(self._n)
+        self._exec_fanout(
+            "binary", fn,
+            dict(op=op, src2_ns=other._namespace,
+                 src2_name=other._name, src2_nparts=other._n,
+                 out_ns=out._namespace, out_name=out._name,
+                 out_nparts=out._n, out_nodes=self._kv.addrs))
+        return out
+
+    def join(self, other, func):
+        if not self._co_remote(other):
+            return super().join(other, func)
+        return self._remote_binary("join", func, other)
+
+    def union(self, other, func=lambda v1, v2: v1):
+        if not self._co_remote(other):
+            return super().union(other, func)
+        return self._remote_binary("union", func, other)
+
+    def subtractByKey(self, other):
+        if not self._co_remote(other):
+            return super().subtractByKey(other)
+        return self._remote_binary("subtract", None, other)
 
 
 class Session:

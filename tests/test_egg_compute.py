@@ -190,3 +190,57 @@ def test_native_launch_falls_back_to_python(tmp_path, monkeypatch):
         s.stop()
     finally:
         node.close()
+
+
+def test_binary_ops_server_side(py_node):
+    """Co-partitioned join/union/subtractByKey run in the egg, not the
+    client (no ITER/GET from the client during the job)."""
+    s = table_mod.init("egg_bin", storage_addr=py_node.address)
+    a = s.table("bin_a", "ns", partition=4)
+    b = s.table("bin_b", "ns", partition=4)
+    a.put_all((i, i) for i in range(40))          # keys 0..39
+    b.put_all((i, 100 + i) for i in range(20, 60))  # keys 20..59
+    store = s._stores[("ns", "bin_a")]
+
+    before = dict(store.op_counts)
+    joined = a.join(b, lambda va, vb: va + vb)
+    merged = a.union(b, lambda va, vb: va)  # a wins on collision
+    only_a = a.subtractByKey(b)
+    after = dict(store.op_counts)
+    assert after.get(_ITER, 0) == before.get(_ITER, 0)
+    assert after.get(_GET, 0) == before.get(_GET, 0)
+
+    assert dict(joined.collect()) == {i: i + 100 + i
+                                      for i in range(20, 40)}
+    want_union = {i: i for i in range(40)}
+    want_union.update({i: 100 + i for i in range(40, 60)})
+    assert dict(merged.collect()) == want_union
+    assert dict(only_a.collect()) == {i: i for i in range(20)}
+
+    # mismatched partition counts fall back to the client-side path
+    c = s.table("bin_c", "ns", partition=2)
+    c.put_all((i, -1) for i in range(5))
+    assert dict(a.join(c, lambda x, y: y).collect()) == {
+        i: -1 for i in range(5)}
+    s.stop()
+
+
+def test_binary_ops_two_nodes(tmp_path):
+    """Binary ops over a 2-node session: each egg joins only its local
+    partition slice of both tables."""
+    n0 = StorageNode(str(tmp_path / "b0"), native=False)
+    n1 = StorageNode(str(tmp_path / "b1"), native=False)
+    try:
+        s = table_mod.init("egg_bin2",
+                           storage_addr=f"{n0.address},{n1.address}")
+        a = s.table("a", "ns", partition=4)
+        b = s.table("b", "ns", partition=4)
+        a.put_all((i, i) for i in range(50))
+        b.put_all((i, 2 * i) for i in range(25, 75))
+        got = a.join(b, lambda va, vb: (va, vb))
+        assert dict(got.collect()) == {i: (i, 2 * i)
+                                       for i in range(25, 50)}
+        s.stop()
+    finally:
+        n0.close()
+        n1.close()
