@@ -204,12 +204,13 @@ class PersistentDTable(DTable):
     which reads the source partitions near the data and shuffles map
     output straight to the owning nodes — the reference's eggroll
     roll/egg compute plane (arch/api/table/table.py:25-179 backed by
-    remote execution in cluster mode).  join/union/subtractByKey run
-    server-side too when both tables are co-partitioned on the same
-    node list (no shuffle needed — eggroll's equal-partitions join
-    precondition).  Against an in-process store (or for glom/sample,
-    or non-co-partitioned binary ops) they inherit DTable's
-    client-side path and materialize into in-memory derived tables.  Keys/values pickle on the way in;
+    remote execution in cluster mode).  glom/sample route through the
+    same path; join/union/subtractByKey run server-side too when both
+    tables are co-partitioned on the same node list (no shuffle needed
+    — eggroll's equal-partitions join precondition).  Against an
+    in-process store (or for non-co-partitioned binary ops) they
+    inherit DTable's client-side path and materialize into in-memory
+    derived tables.  Keys/values pickle on the way in;
     partition routing hashes the pickled key with crc32 so the layout
     is stable across processes (python's `hash` is per-process salted;
     flashe_tpu/data/codec.py is the shared rule).
@@ -450,6 +451,30 @@ class PersistentDTable(DTable):
         if not self._co_remote(other):
             return super().subtractByKey(other)
         return self._remote_binary("subtract", None, other)
+
+    def glom(self):
+        if not self._remote():
+            return super().glom()
+        return self.mapPartitions(lambda it: list(it))
+
+    def sample(self, fraction, seed=None):
+        if not self._remote():
+            return super().sample(fraction, seed)
+
+        def fn(pi, it, fraction=fraction, seed=seed):
+            import random
+
+            # per-partition derived seed: each egg samples its own
+            # slice deterministically (the client-side path draws one
+            # rng sequence over collect order instead; both honor the
+            # fraction, documented divergence in selection order)
+            rng = random.Random(None if seed is None
+                                else f"{seed}:{pi}")
+            for k, v in it:
+                if rng.random() < fraction:
+                    yield k, v
+
+        return self._remote_map(fn)
 
 
 class Session:

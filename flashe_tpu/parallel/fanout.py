@@ -72,6 +72,11 @@ class DeviceFanout:
         for i, ((lo, hi), dev) in enumerate(zip(spans, self.devices)):
             chunks = [jax.device_put(a[lo:hi], dev) for a in arrays]
             outs.append(fn(i, *chunks))
+        # fetch every shard's output in ONE device_get: each separate
+        # np.asarray pays a full host round-trip (measured ~26 ms
+        # through a network-attached tunnel, size-independent), so the
+        # gather must not scale RTTs with shard count
+        outs = jax.device_get(outs)
         if isinstance(outs[0], tuple):
             return tuple(
                 np.concatenate([np.asarray(o[j]) for o in outs])

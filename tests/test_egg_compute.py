@@ -244,3 +244,25 @@ def test_binary_ops_two_nodes(tmp_path):
     finally:
         n0.close()
         n1.close()
+
+
+def test_glom_and_sample_server_side(py_node):
+    s = table_mod.init("egg_gs", storage_addr=py_node.address)
+    t = s.table("gs", "ns", partition=3)
+    _fill(t, 30)
+    store = s._stores[("ns", "gs")]
+
+    before = dict(store.op_counts)
+    glommed = dict(t.glom().collect())
+    sampled = dict(t.sample(0.5, seed=7).collect())
+    after = dict(store.op_counts)
+    assert after.get(_ITER, 0) == before.get(_ITER, 0)
+
+    assert set(glommed) == {0, 1, 2}
+    assert sorted(kv for part in glommed.values() for kv in part) == [
+        (i, i + 1) for i in range(30)]
+    # sampled subset of the source, deterministic for a fixed seed
+    assert all(sampled[k] == k + 1 for k in sampled)
+    assert 0 < len(sampled) < 30
+    assert dict(t.sample(0.5, seed=7).collect()) == sampled
+    s.stop()
