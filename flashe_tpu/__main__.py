@@ -446,6 +446,107 @@ def cmd_logs(args) -> int:
     return 0
 
 
+# -- tracking / pipeline / permission apps (fate_flow app analogues) --------
+
+
+def cmd_tracking(args) -> int:
+    """Tracking queries (fate_flow tracking_app analogue)."""
+    if getattr(args, "server", None):
+        from flashe_tpu.runtime.client import FlasheClient
+
+        c = FlasheClient(args.server)
+        if args.what == "data-view":
+            out = c._call("POST", "/v1/tracking/job/data_view",
+                          {"job_id": args.job_id})
+        elif args.what == "metrics":
+            out = c._call("POST", "/v1/tracking/component/metric/all",
+                          {"job_id": args.job_id})
+        else:  # metric-data
+            out = c._call("POST", "/v1/tracking/component/metric_data",
+                          {"job_id": args.job_id,
+                           "component_name": args.component,
+                           "role": args.role,
+                           "metric_name": args.metric})
+    else:
+        from flashe_tpu.runtime import apps
+        from flashe_tpu.runtime.job_manager import default_registry
+
+        reg = default_registry()
+        if args.what == "data-view":
+            out = apps.job_data_view(reg, args.job_id)
+        elif args.what == "metrics":
+            out = apps.metric_all(reg, args.job_id)
+        else:
+            if not args.component:
+                raise SystemExit("metric-data needs --component")
+            out = apps.metric_data(reg, args.job_id, args.component,
+                                   role=args.role,
+                                   metric_name=args.metric)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def cmd_dag(args) -> int:
+    """Pipeline DAG of a submitted DSL job (pipeline_app analogue)."""
+    if getattr(args, "server", None):
+        from flashe_tpu.runtime.client import FlasheClient
+
+        out = FlasheClient(args.server)._call(
+            "POST", "/v1/pipeline/dag/dependency", {"job_id": args.job_id})
+    else:
+        from flashe_tpu.runtime import apps
+        from flashe_tpu.runtime.job_manager import default_registry
+
+        out = apps.dag_dependency(default_registry(), args.job_id)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def cmd_permission(args) -> int:
+    """Privilege grant/revoke/query (permission_app analogue)."""
+    if args.action in ("grant", "revoke") and not (
+            args.variable and args.src_role and args.dst_role):
+        raise SystemExit(
+            "grant/revoke need --variable --src-role --dst-role")
+    if getattr(args, "server", None):
+        from flashe_tpu.runtime.client import FlasheClient
+
+        c = FlasheClient(args.server)
+        if args.action == "query":
+            out = c._call("POST", "/v1/permission/query/privilege",
+                          {"src_role": args.src_role})
+        else:
+            route = ("/v1/permission/grant/privilege"
+                     if args.action == "grant"
+                     else "/v1/permission/delete/privilege")
+            out = c._call("POST", route,
+                          {"variable": args.variable,
+                           "src_role": args.src_role,
+                           "dst_role": args.dst_role})
+    else:
+        from flashe_tpu.runtime.permission import default_privilege_store
+
+        store = default_privilege_store()
+        if args.action == "query":
+            out = {"privileges": store.query(args.src_role)}
+        elif args.action == "grant":
+            out = store.grant(args.variable, args.src_role, args.dst_role)
+        else:
+            out = store.revoke(args.variable, args.src_role,
+                               args.dst_role)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def cmd_queue(args) -> int:
+    """Job queue status of a running server (schedule_app analogue)."""
+    from flashe_tpu.runtime.client import FlasheClient
+
+    out = FlasheClient(args.server)._call("GET", "/v1/schedule/queue")
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 # -- model manager (fate_flow_client -f load/bind analogues) ----------------
 
 
@@ -695,6 +796,37 @@ def main(argv=None) -> int:
     p_logs.add_argument("--tail", type=int, default=0,
                         help="only the last N lines")
     p_logs.set_defaults(fn=cmd_logs)
+
+    p_trk = sub.add_parser(
+        "tracking", help="tracking queries (metrics/data-view)")
+    p_trk.add_argument("-j", "--job-id", required=True)
+    p_trk.add_argument("--what", default="metrics",
+                       choices=["data-view", "metrics", "metric-data"])
+    p_trk.add_argument("--component")
+    p_trk.add_argument("--role")
+    p_trk.add_argument("--metric")
+    p_trk.add_argument("--server")
+    p_trk.set_defaults(fn=cmd_tracking)
+
+    p_dag = sub.add_parser(
+        "dag", help="pipeline DAG of a submitted DSL job")
+    p_dag.add_argument("-j", "--job-id", required=True)
+    p_dag.add_argument("--server")
+    p_dag.set_defaults(fn=cmd_dag)
+
+    p_perm = sub.add_parser(
+        "permission", help="grant/revoke/query transfer privileges")
+    p_perm.add_argument("action", choices=["grant", "revoke", "query"])
+    p_perm.add_argument("--variable")
+    p_perm.add_argument("--src-role")
+    p_perm.add_argument("--dst-role")
+    p_perm.add_argument("--server")
+    p_perm.set_defaults(fn=cmd_permission)
+
+    p_queue = sub.add_parser(
+        "queue", help="job-queue status of a running server")
+    p_queue.add_argument("--server", required=True)
+    p_queue.set_defaults(fn=cmd_queue)
 
     p_up = sub.add_parser(
         "upload", help="ingest a dense CSV into the dataset store")
