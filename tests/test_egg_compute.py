@@ -95,6 +95,12 @@ def test_native_node_exec(tmp_path):
         assert dict(doubled.collect()) == {i: 2 * (i + 1) for i in range(20)}
         results = t._exec_fanout("reduce", lambda a, b: a + b, {})
         assert all(r["pid"] != os.getpid() for r in results)
+        # co-partitioned binary op through the C++ node's EXEC too
+        u = s.table("u", "ns", partition=2)
+        u.put_all((i, -i) for i in range(10, 30))
+        joined = t.join(u, lambda a, b: a + b)
+        assert dict(joined.collect()) == {i: i + 1 - i
+                                          for i in range(10, 20)}
         s.stop()
     finally:
         node.shutdown()
