@@ -167,26 +167,38 @@ def _read_full(stream, n: int) -> bytes:
 
 
 def main(argv=None) -> int:
+    """Single-shot: one length-prefixed spec on stdin -> one
+    length-prefixed result on stdout.  `--loop`: stay resident and
+    serve jobs until stdin closes — the persistent-processor mode the
+    node's egg pool uses (eggroll keeps processor pools alive the same
+    way; a fresh interpreter per job costs ~0.5 s of imports)."""
     argv = sys.argv[1:] if argv is None else argv
+    loop = "--loop" in argv
+    argv = [a for a in argv if a != "--loop"]
     if len(argv) != 1:
-        print("usage: python -m flashe_tpu.data.egg <local_storage_addr>",
-              file=sys.stderr)
+        print("usage: python -m flashe_tpu.data.egg [--loop] "
+              "<local_storage_addr>", file=sys.stderr)
         return 2
     import pickle
 
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer
-    (n,) = struct.unpack("<Q", _read_full(stdin, 8))
-    spec = pickle.loads(_read_full(stdin, n))
-    try:
-        result = run_job(argv[0], spec)
-    except Exception:  # spec-level failure (bad connect, bad spec)
-        result = {"ok": False, "pid": os.getpid(),
-                  "error": traceback.format_exc()}
-    payload = pickle.dumps(result, protocol=4)
-    stdout.write(struct.pack("<Q", len(payload)) + payload)
-    stdout.flush()
-    return 0
+    while True:
+        try:
+            (n,) = struct.unpack("<Q", _read_full(stdin, 8))
+        except EOFError:
+            return 0  # pool shutdown: node closed our stdin
+        spec = pickle.loads(_read_full(stdin, n))
+        try:
+            result = run_job(argv[0], spec)
+        except Exception:  # spec-level failure (bad connect, bad spec)
+            result = {"ok": False, "pid": os.getpid(),
+                      "error": traceback.format_exc()}
+        payload = pickle.dumps(result, protocol=4)
+        stdout.write(struct.pack("<Q", len(payload)) + payload)
+        stdout.flush()
+        if not loop:
+            return 0
 
 
 if __name__ == "__main__":

@@ -84,6 +84,93 @@ def _egg_env() -> dict:
     return env
 
 
+class _EggPool:
+    """Resident egg processors for the python storage server.
+
+    eggroll keeps its egg processors alive in pools; forking a fresh
+    interpreter per EXEC costs ~0.5 s of imports before any record is
+    touched.  `size` workers (`data/egg.py --loop`, FLASHE_EGG_POOL env)
+    spawn lazily; each is serialized by its own lock, so up to `size`
+    jobs run concurrently per node.  A worker that dies (EOF / broken
+    pipe) is respawned and the job retried once.
+    """
+
+    def __init__(self, address: str, env: dict, size: int = 2):
+        import subprocess as _sp
+
+        self._sp = _sp
+        self._address = address
+        self._env = env
+        self._size = max(1, int(size))
+        self._procs = [None] * self._size
+        self._locks = [threading.Lock() for _ in range(self._size)]
+        self._rr = 0
+
+    def _spawn(self):
+        return self._sp.Popen(
+            [sys.executable, "-m", "flashe_tpu.data.egg", "--loop",
+             self._address],
+            stdin=self._sp.PIPE, stdout=self._sp.PIPE,
+            stderr=self._sp.DEVNULL, env=self._env)
+
+    def _run_on(self, i: int, spec_bytes: bytes):
+        p = self._procs[i]
+        if p is None or p.poll() is not None:
+            p = self._procs[i] = self._spawn()
+        p.stdin.write(struct.pack("<Q", len(spec_bytes)) + spec_bytes)
+        p.stdin.flush()
+        hdr = p.stdout.read(8)
+        if len(hdr) < 8:
+            raise EOFError("egg worker died")
+        (n,) = struct.unpack("<Q", hdr)
+        out = b""
+        while len(out) < n:
+            part = p.stdout.read(n - len(out))
+            if not part:
+                raise EOFError("egg worker died mid-result")
+            out += part
+        return 0, out
+
+    def run(self, spec_bytes: bytes):
+        for i in range(self._size):
+            if self._locks[i].acquire(blocking=False):
+                break
+        else:
+            i = self._rr % self._size
+            self._rr += 1
+            self._locks[i].acquire()
+        try:
+            try:
+                return self._run_on(i, spec_bytes)
+            except (OSError, EOFError):
+                try:
+                    if self._procs[i] is not None:
+                        self._procs[i].kill()  # exact child PID only
+                except Exception:
+                    pass
+                self._procs[i] = None
+                try:
+                    return self._run_on(i, spec_bytes)
+                except (OSError, EOFError) as e:
+                    return 2, f"egg processor failed: {e}".encode()
+        finally:
+            self._locks[i].release()
+
+    def close(self):
+        for i, p in enumerate(self._procs):
+            if p is None:
+                continue
+            try:
+                p.stdin.close()  # loop workers exit on stdin EOF
+                p.wait(timeout=2)
+            except Exception:
+                try:
+                    p.kill()
+                except Exception:
+                    pass
+            self._procs[i] = None
+
+
 class RemoteKVStore:
     """KVStore-compatible client for one (namespace, name) table on one
     node.  Reconnects with backoff on dropped connections; raises
@@ -393,9 +480,16 @@ class StorageNode:
                     self._stores[key] = entry
                 return entry
 
+        pool_size = int(os.environ.get("FLASHE_EGG_POOL", "2"))
+        self._egg_pool = (_EggPool(self.address, egg_env, pool_size)
+                          if pool_size > 0 else None)
+
         def run_egg(spec_bytes: bytes):
-            """Spawn an egg processor (data/egg.py) against this node,
-            exactly as the C++ server's EXEC op does."""
+            """Ship one job to a resident egg processor (data/egg.py
+            --loop, see _EggPool); FLASHE_EGG_POOL=0 falls back to the
+            fork-per-job mode (the C++ server's default)."""
+            if self._egg_pool is not None:
+                return self._egg_pool.run(spec_bytes)
             proc = subprocess.run(
                 [sys.executable, "-m", "flashe_tpu.data.egg",
                  self.address],
@@ -516,6 +610,10 @@ class StorageNode:
         self.close()
 
     def close(self):
+        pool = getattr(self, "_egg_pool", None)
+        if pool is not None:
+            pool.close()
+            self._egg_pool = None
         if self._proc is not None:
             try:
                 self._proc.terminate()

@@ -37,11 +37,13 @@
 #include <sys/wait.h>
 #include <unistd.h>
 
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <map>
 #include <mutex>
 #include <thread>
+#include <vector>
 
 #include "kvstore.cpp"  // storage core + C ABI (single-TU build)
 
@@ -150,10 +152,149 @@ bool fd_read_full(int fd, void* buf, size_t n) {
   return true;
 }
 
-// EXEC: spawn an egg processor near the data.  No store mutex may be
+// ---- resident egg pool --------------------------------------------------
+// eggroll keeps its egg processors alive in pools; forking a fresh
+// interpreter per EXEC costs ~0.5 s of python imports before any record
+// is touched.  FLASHE_EGG_POOL sets the pool size (default 2; 0 restores
+// fork-per-job).  Each worker runs `flashe_tpu.data.egg --loop` (spec and
+// result length-prefixed over its pipes) and is serialized by its own
+// mutex; a dead worker is respawned and the job retried once.
+
+struct EggWorker {
+  pid_t pid = -1;
+  int in_fd = -1;   // spec out
+  int out_fd = -1;  // result in
+  std::mutex mu;
+};
+
+std::mutex g_egg_mu;
+std::vector<EggWorker>* g_egg_pool = nullptr;
+unsigned g_egg_rr = 0;
+
+int egg_pool_size() {
+  const char* e = getenv("FLASHE_EGG_POOL");
+  return (e && *e) ? std::atoi(e) : 2;
+}
+
+void egg_kill(EggWorker& w) {
+  if (w.in_fd >= 0) close(w.in_fd);
+  if (w.out_fd >= 0) close(w.out_fd);
+  if (w.pid > 0) {
+    kill(w.pid, SIGKILL);  // exact child PID only
+    waitpid(w.pid, nullptr, 0);
+  }
+  w.pid = -1;
+  w.in_fd = w.out_fd = -1;
+}
+
+bool egg_spawn(EggWorker& w) {
+  int in_pipe[2], out_pipe[2];
+  if (pipe(in_pipe) != 0) return false;
+  if (pipe(out_pipe) != 0) {
+    close(in_pipe[0]);
+    close(in_pipe[1]);
+    return false;
+  }
+  pid_t pid = fork();
+  if (pid < 0) {
+    close(in_pipe[0]);
+    close(in_pipe[1]);
+    close(out_pipe[0]);
+    close(out_pipe[1]);
+    return false;
+  }
+  if (pid == 0) {  // resident egg child
+    dup2(in_pipe[0], 0);
+    dup2(out_pipe[1], 1);
+    close(in_pipe[0]);
+    close(in_pipe[1]);
+    close(out_pipe[0]);
+    close(out_pipe[1]);
+    const char* py = getenv("FLASHE_PYTHON");
+    if (!py || !*py) py = "python3";
+    char addr[64];
+    std::snprintf(addr, sizeof addr, "127.0.0.1:%d", g_port);
+    execlp(py, py, "-m", "flashe_tpu.data.egg", "--loop", addr,
+           (char*)nullptr);
+    _exit(127);
+  }
+  close(in_pipe[0]);
+  close(out_pipe[1]);
+  w.pid = pid;
+  w.in_fd = in_pipe[1];
+  w.out_fd = out_pipe[0];
+  return true;
+}
+
+bool egg_job(EggWorker& w, const std::string& spec, std::string& result) {
+  if (w.pid > 0 && waitpid(w.pid, nullptr, WNOHANG) == w.pid) {
+    // died between jobs: reaped above, just drop the stale fds
+    if (w.in_fd >= 0) close(w.in_fd);
+    if (w.out_fd >= 0) close(w.out_fd);
+    w.pid = -1;
+    w.in_fd = w.out_fd = -1;
+  }
+  if (w.pid <= 0 && !egg_spawn(w)) return false;
+  uint64_t n = spec.size();
+  bool ok = fd_write_full(w.in_fd, &n, 8) &&
+            (n == 0 || fd_write_full(w.in_fd, spec.data(), n));
+  uint64_t rn = 0;
+  if (ok && fd_read_full(w.out_fd, &rn, 8)) {
+    result.resize(rn);
+    ok = rn == 0 || fd_read_full(w.out_fd, &result[0], rn);
+  } else {
+    ok = false;
+  }
+  if (!ok) egg_kill(w);
+  return ok;
+}
+
+// EXEC: run the job in a resident egg processor near the data (or, with
+// FLASHE_EGG_POOL=0, a freshly forked one).  No store mutex may be
 // held here — the egg re-enters this server over loopback for its
 // partition reads and shuffle writes.
+void handle_exec_pooled(int fd, const std::string& spec, int pool) {
+  {
+    std::lock_guard<std::mutex> g(g_egg_mu);
+    if (!g_egg_pool) g_egg_pool = new std::vector<EggWorker>(pool);
+  }
+  EggWorker* w = nullptr;
+  std::unique_lock<std::mutex> held;
+  for (auto& cand : *g_egg_pool) {
+    std::unique_lock<std::mutex> l(cand.mu, std::try_to_lock);
+    if (l.owns_lock()) {
+      w = &cand;
+      held = std::move(l);
+      break;
+    }
+  }
+  if (!w) {
+    unsigned i;
+    {
+      std::lock_guard<std::mutex> g(g_egg_mu);
+      i = g_egg_rr++ % g_egg_pool->size();
+    }
+    w = &(*g_egg_pool)[i];
+    held = std::unique_lock<std::mutex>(w->mu);
+  }
+  std::string result;
+  bool ok = egg_job(*w, spec, result);
+  if (!ok) ok = egg_job(*w, spec, result);  // respawn + retry once
+  if (!ok) {
+    const char* msg = "egg processor failed (is FLASHE_PYTHON set and "
+                      "flashe_tpu on PYTHONPATH?)";
+    send_resp(fd, 2, msg, std::strlen(msg));
+    return;
+  }
+  send_resp(fd, 0, result.data(), result.size());
+}
+
 void handle_exec(int fd, const std::string& spec) {
+  int pool = egg_pool_size();
+  if (pool > 0) {
+    handle_exec_pooled(fd, spec, pool);
+    return;
+  }
   int in_pipe[2], out_pipe[2];
   if (pipe(in_pipe) != 0) {
     send_resp(fd, 2, "pipe failed", 11);

@@ -95,6 +95,9 @@ def test_native_node_exec(tmp_path):
         assert dict(doubled.collect()) == {i: 2 * (i + 1) for i in range(20)}
         results = t._exec_fanout("reduce", lambda a, b: a + b, {})
         assert all(r["pid"] != os.getpid() for r in results)
+        # the C++ node keeps a resident egg pool too: PIDs repeat
+        again = t._exec_fanout("reduce", lambda a, b: a + b, {})
+        assert {r["pid"] for r in results} & {r["pid"] for r in again}
         # co-partitioned binary op through the C++ node's EXEC too
         u = s.table("u", "ns", partition=2)
         u.put_all((i, -i) for i in range(10, 30))
@@ -271,4 +274,35 @@ def test_glom_and_sample_server_side(py_node):
     assert all(sampled[k] == k + 1 for k in sampled)
     assert 0 < len(sampled) < 30
     assert dict(t.sample(0.5, seed=7).collect()) == sampled
+    s.stop()
+
+
+def test_egg_pool_reuses_and_recovers(py_node):
+    """The python node keeps resident egg workers (data/egg.py --loop):
+    consecutive jobs reuse a processor PID instead of forking a fresh
+    interpreter per EXEC, and a killed worker is respawned with the job
+    retried transparently."""
+    import signal
+
+    s = table_mod.init("egg_pool", storage_addr=py_node.address)
+    t = s.table("pool_t", "ns", partition=2)
+    _fill(t, 20)
+
+    pids1 = {r["pid"] for r in t._exec_fanout(
+        "reduce", lambda a, b: a + b, {})}
+    pids2 = {r["pid"] for r in t._exec_fanout(
+        "reduce", lambda a, b: a + b, {})}
+    assert pids1 and pids1 & pids2  # a worker was reused
+    assert os.getpid() not in pids1
+
+    # kill the resident workers (exact PIDs); the pool must respawn
+    pool = py_node._egg_pool
+    assert pool is not None
+    for p in pool._procs:
+        if p is not None:
+            os.kill(p.pid, signal.SIGKILL)
+    assert t.reduce(lambda a, b: a + b) == sum(range(1, 21))
+    pids3 = {r["pid"] for r in t._exec_fanout(
+        "reduce", lambda a, b: a + b, {})}
+    assert pids3.isdisjoint(pids1)
     s.stop()
