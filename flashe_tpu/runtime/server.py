@@ -196,7 +196,8 @@ class JobServer:
         from flashe_tpu.runtime import webboard
 
         if path in ("/", "/board", "/board/"):
-            return webboard.render_index_html(self.registry.list_jobs())
+            return webboard.render_index_html(self.registry.list_jobs(),
+                                              queue=self.queue_view())
         if path.startswith("/board/"):
             from flashe_tpu.runtime import apps
 

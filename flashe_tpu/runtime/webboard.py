@@ -187,7 +187,8 @@ def _fmt_age(ts: Optional[float]) -> str:
 # --------------------------------------------------------------------- index
 
 
-def render_index_html(jobs: List[dict]) -> str:
+def render_index_html(jobs: List[dict],
+                      queue: Optional[dict] = None) -> str:
     rows = []
     for rec in sorted(jobs, key=lambda r: r.get("created") or 0,
                       reverse=True):
@@ -202,8 +203,14 @@ def render_index_html(jobs: List[dict]) -> str:
              if rows else "<p class='sub'>no jobs yet</p>")
     running = any(r.get("status") in ("running", "waiting")
                   for r in jobs)
+    qline = ""
+    if queue is not None:
+        qline = (f" &nbsp;&middot;&nbsp; queue: "
+                 f"{len(queue.get('running', []))} running / "
+                 f"{len(queue.get('waiting', []))} waiting "
+                 f"(max {queue.get('max_concurrent', '?')} concurrent)")
     body = (f"<h1>flashe-tpu jobs</h1><p class='sub'>{len(jobs)} job(s)"
-            f"</p><div class='card'>{table}</div>")
+            f"{qline}</p><div class='card'>{table}</div>")
     return _page("flashe-tpu jobs", body, refresh=running)
 
 
