@@ -280,6 +280,17 @@ def main(argv=None):
                        / p["wire_mb_per_client"] - 1), 2)
             claims["overhead_vs_plain_cost_pct"] = round(
                 100 * (f["cost_usd"] / p["cost_usd"] - 1), 2)
+    if "flashe+sparse" in by:
+        # README.md:22 — sparsification vs general HE: compute = client
+        # crypto wall time, traffic = wire bytes
+        fs = by["flashe+sparse"]
+        for b in ("paillier+batch", "bfv+batch", "ckks+batch"):
+            if b in by and fs["client_crypto_s"] > 0:
+                claims[f"sparse_compute_reduction_vs_{b}"] = round(
+                    by[b]["client_crypto_s"] / fs["client_crypto_s"], 1)
+                claims[f"sparse_traffic_reduction_vs_{b}"] = round(
+                    by[b]["wire_mb_per_client"]
+                    / fs["wire_mb_per_client"], 1)
 
     doc = {
         "config": {"params": n, "clients": N_CLIENTS,
@@ -295,6 +306,7 @@ def main(argv=None):
             "traffic_reduction_vs_batched_baselines": "2.1x-42.4x",
             "overhead_vs_plain": "<=6% time, 0% traffic",
             "cost_savings_vs_batched_baselines": "73%-94%",
+            "sparse_vs_general_he": ">=13x-63x compute / >=48x traffic",
             "source": "/root/reference/README.md:21-27",
         },
     }
@@ -371,6 +383,16 @@ def _write_docs(doc):
         lines.append(f"| economic savings vs batched baselines | "
                      f"{ref['cost_savings_vs_batched_baselines']} | "
                      f"{min(sav)}%-{max(sav)}% | modeled price book |")
+    sc = [v for k, v in cl.items()
+          if k.startswith("sparse_compute_reduction_vs_")]
+    st = [v for k, v in cl.items()
+          if k.startswith("sparse_traffic_reduction_vs_")]
+    if sc and st:
+        lines.append(
+            f"| sparsification (s=10%) vs general HE | "
+            f"{ref['sparse_vs_general_he']} | "
+            f"{min(sc)}x-{max(sc)}x compute / {min(st)}x-{max(st)}x "
+            f"traffic | measured crypto + exact byte counts |")
     lines += ["", "Full measurements: `examples/comparison_results.json`.",
               ""]
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
