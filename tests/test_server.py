@@ -121,6 +121,8 @@ def test_web_board_routes(server):
     assert page.headers["Content-Type"].startswith("text/html")
     text = page.read().decode()
     assert "flashe-tpu jobs" in text and "no jobs yet" in text
+    # the index surfaces the scheduler queue state
+    assert "queue: 0 running / 0 waiting" in text
 
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"{base}/board/nope", timeout=10)
