@@ -83,14 +83,19 @@ def run_job(local_addr: str, spec: dict) -> dict:
             out_nodes = spec["out_nodes"]
             out_nparts = spec["out_nparts"]
             conns = {}
+            pipes = {}
 
-            def conn_for(addr):
-                c = conns.get(addr)
-                if c is None:
+            def pipe_for(addr):
+                """Pipelined writer per destination node: shuffle output
+                streams without a per-record round-trip (statuses drain
+                in batches — remote_kv._PutPipeline)."""
+                p = pipes.get(addr)
+                if p is None:
                     c = RemoteKVStore(addr, spec["out_ns"],
                                       spec["out_name"], out_nparts)
                     conns[addr] = c
-                return c
+                    p = pipes[addr] = c.pipeline()
+                return p
 
             src2 = None
             if kind == "binary":
@@ -138,9 +143,11 @@ def run_job(local_addr: str, spec: dict) -> dict:
                 for nk, nv in gen:
                     kb = codec.enc(nk)
                     p = codec.part_of(kb, out_nparts)
-                    conn_for(out_nodes[p % len(out_nodes)]).put(
+                    pipe_for(out_nodes[p % len(out_nodes)]).put(
                         p, kb, codec.enc(nv))
                     written += 1
+            for pl in pipes.values():
+                pl.drain()
             for c in conns.values():
                 c.close()
             if src2 is not None:
@@ -188,8 +195,13 @@ def main(argv=None) -> int:
             (n,) = struct.unpack("<Q", _read_full(stdin, 8))
         except EOFError:
             return 0  # pool shutdown: node closed our stdin
-        spec = pickle.loads(_read_full(stdin, n))
+        body = _read_full(stdin, n)
         try:
+            # unpickle INSIDE the guard: an import missing under the
+            # egg's PYTHONPATH (or a cloudpickle mismatch) must come
+            # back as an error result, not kill a pool worker whose
+            # stderr is discarded
+            spec = pickle.loads(body)
             result = run_job(argv[0], spec)
         except Exception:  # spec-level failure (bad connect, bad spec)
             result = {"ok": False, "pid": os.getpid(),

@@ -107,9 +107,9 @@ class _EggPool:
         self._rr = 0
 
     def _spawn(self):
+        py = self._env.get("FLASHE_PYTHON") or sys.executable
         return self._sp.Popen(
-            [sys.executable, "-m", "flashe_tpu.data.egg", "--loop",
-             self._address],
+            [py, "-m", "flashe_tpu.data.egg", "--loop", self._address],
             stdin=self._sp.PIPE, stdout=self._sp.PIPE,
             stderr=self._sp.DEVNULL, env=self._env)
 
@@ -198,6 +198,11 @@ class RemoteKVStore:
     def _connect(self):
         self._sock = socket.create_connection(
             (self._host, self._port), timeout=30)
+        # the 30 s bound applies to CONNECT only: a server-side EXEC
+        # (map/reduce over a large table) or a big ITER payload may
+        # legitimately take minutes, and a read timeout would masquerade
+        # as a dead node and trigger replays
+        self._sock.settimeout(None)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
     def _drop_sock(self):
@@ -212,18 +217,22 @@ class RemoteKVStore:
               value: bytes = b"") -> Tuple[int, bytes]:
         """One request/response exchange, retried across reconnects.
 
-        Safe to retry: every op here is idempotent under replay (PUT
+        Safe to retry: every KV op here is idempotent under replay (PUT
         rewrites the same record, GET/COUNT/ITER/FLUSH are reads or
-        level-triggered, EXEC's shuffle output rewrites the same keys;
-        DEL may report already-missing on replay, which callers treat
-        as success)."""
+        level-triggered; DEL may report already-missing on replay, which
+        callers treat as success).  EXEC is the exception — a replay
+        would re-run the whole job (possibly concurrently with the
+        first, and non-deterministic functions would write a different
+        record set into the same output table), so it gets ONE attempt
+        and surfaces the failure to the caller instead."""
         hdr = struct.pack("<BIIIII", op, len(self._ns), len(self._name),
                           part, len(key), len(value))
         msg = hdr + self._ns + self._name + key + value
         self.op_counts[op] += 1
+        attempts = 1 if op == _EXEC else len(_RETRY_BACKOFF) + 1
         with self._lock:
             last_err: Optional[Exception] = None
-            for attempt in range(len(_RETRY_BACKOFF) + 1):
+            for attempt in range(attempts):
                 if attempt:
                     time.sleep(_RETRY_BACKOFF[attempt - 1])
                 try:
@@ -240,7 +249,7 @@ class RemoteKVStore:
                     self._drop_sock()
             raise StorageNodeUnavailable(
                 f"storage node {self.addr} unreachable after "
-                f"{len(_RETRY_BACKOFF) + 1} attempts: {last_err}")
+                f"{attempts} attempt(s): {last_err}")
 
     @property
     def native(self) -> bool:  # parity with KVStore's introspection
@@ -252,6 +261,14 @@ class RemoteKVStore:
         status, _ = self._call(_PUT, part, key, value)
         if status != 0:
             raise OSError("remote kv_put failed")
+
+    def pipeline(self) -> "_PutPipeline":
+        """Pipelined PUTs: send requests without awaiting each status,
+        drain statuses in bulk — one RTT per batch instead of per
+        record.  For single-threaded exclusive use of this connection
+        (the egg shuffle writer); no reconnect-retry, a dropped node
+        fails the job, which the client surfaces."""
+        return _PutPipeline(self)
 
     def get(self, part: int, key: bytes) -> Optional[bytes]:
         status, payload = self._call(_GET, part, key)
@@ -313,6 +330,48 @@ class RemoteKVStore:
                 f"storage node {self.addr} EXEC failed: "
                 f"{payload[:500].decode('utf-8', 'replace')}")
         return pickle.loads(payload)
+
+
+class _PutPipeline:
+    """Batched in-flight PUTs over one RemoteKVStore connection.
+
+    The storage servers handle a connection's requests strictly in
+    order, so N requests can be written back-to-back and their N
+    status frames read afterwards — turning the shuffle's per-record
+    round-trip into one per `flush_every` records.  Single-threaded
+    exclusive use of the underlying connection only.
+    """
+
+    def __init__(self, store: "RemoteKVStore", flush_every: int = 512):
+        self._st = store
+        self._flush_every = flush_every
+        self._outstanding = 0
+
+    def put(self, part: int, key: bytes, value: bytes):
+        st = self._st
+        hdr = struct.pack("<BIIIII", _PUT, len(st._ns), len(st._name),
+                          part, len(key), len(value))
+        st.op_counts[_PUT] += 1
+        with st._lock:
+            if st._sock is None:
+                st._connect()
+            st._sock.sendall(hdr + st._ns + st._name + key + value)
+        self._outstanding += 1
+        if self._outstanding >= self._flush_every:
+            self.drain()
+
+    def drain(self):
+        st = self._st
+        with st._lock:
+            for _ in range(self._outstanding):
+                resp = _read_full(st._sock, 9)
+                n = struct.unpack("<Q", resp[1:])[0]
+                if n:
+                    _read_full(st._sock, n)
+                if resp[0] != 0:
+                    self._outstanding = 0
+                    raise OSError("remote kv_put failed")
+        self._outstanding = 0
 
 
 class ShardedRemoteKV:
@@ -491,8 +550,8 @@ class StorageNode:
             if self._egg_pool is not None:
                 return self._egg_pool.run(spec_bytes)
             proc = subprocess.run(
-                [sys.executable, "-m", "flashe_tpu.data.egg",
-                 self.address],
+                [egg_env.get("FLASHE_PYTHON") or sys.executable,
+                 "-m", "flashe_tpu.data.egg", self.address],
                 input=struct.pack("<Q", len(spec_bytes)) + spec_bytes,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 env=egg_env)
@@ -637,7 +696,12 @@ class StorageNode:
                         pass
                 self._conns.clear()
             with self._stores_lock:
-                for st, _ in self._stores.values():
-                    st.close()
+                for st, st_lock in self._stores.values():
+                    # take the per-store lock: a handler thread may be
+                    # inside a ctypes store call (GIL released) on a
+                    # connection severed above — closing the handle
+                    # under it would be a use-after-free
+                    with st_lock:
+                        st.close()
                 self._stores.clear()
             self._srv = None

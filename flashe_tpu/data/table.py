@@ -563,9 +563,17 @@ class Session:
     def _remote_anon_table(self, partition: int) -> DTable:
         """Anonymous *remote* table for server-side op output: derived
         tables of an egg-computed map live on the storage nodes, like
-        every eggroll compute result."""
+        every eggroll compute result.  The name carries a per-session
+        random component — remote tables PERSIST on the node, so a
+        deterministic `_anon_1` from a fresh session would merge its
+        shuffle output into a previous session's leftover records."""
+        import uuid as _uuid
+
+        if not hasattr(self, "_anon_token"):
+            self._anon_token = _uuid.uuid4().hex[:8]
         self._anon += 1
-        return self.table(f"_anon_{self._anon}", self.job_id, partition)
+        return self.table(f"_anon_{self._anon_token}_{self._anon}",
+                          self.job_id, partition)
 
     def _drop(self, namespace: str, name: str):
         self._registry.pop((namespace, name), None)

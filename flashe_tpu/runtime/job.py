@@ -191,6 +191,10 @@ def submit_dsl_job(dsl: dict, conf: dict,
     reg = registry or default_registry()
     reg.create(job_id, {"dsl": dsl, "conf": conf, "n_hosts": jc.n_hosts,
                         "workdir": workdir})
+    if reg.is_canceled(job_id):
+        # stopped while queued (create() preserved the cancel): never
+        # spawn any executor
+        raise JobCanceled(f"job {job_id} was stopped before it started")
 
     broker = FedBroker()
     outs = {}

@@ -48,6 +48,14 @@ class JobRegistry:
             "tasks": {},  # "<role>_<party>" -> {"pid": int, "status": str}
         }
         rec.update(meta)
+        try:
+            # a stop() that raced this re-create must not be erased: a
+            # queued job canceled between the scheduler's status check
+            # and the runner's create would otherwise run to completion
+            if self.query(job_id)["status"] == "canceled":
+                rec["status"] = "canceled"
+        except (KeyError, json.JSONDecodeError):
+            pass
         self._write(job_id, rec)
         return rec
 

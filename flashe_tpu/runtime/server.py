@@ -438,8 +438,13 @@ class JobServer:
             except KeyError:
                 pass
             return
-        with open(self._result_path(job_id), "w") as f:
+        # atomic write: tracking endpoints and board refreshes read this
+        # file concurrently and must never see a torn JSON document
+        path = self._result_path(job_id)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(summarize_result(results), f)
+        os.replace(tmp, path)
 
     def queue_view(self) -> dict:
         with self._queue_lock:
